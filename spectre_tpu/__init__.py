@@ -1,0 +1,23 @@
+"""spectre_tpu — a TPU-native Halo2-class proving stack for Ethereum light clients.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of ChainSafe/Spectre
+(reference: /root/reference): PLONKish (Halo2) proving over BN254 with KZG
+commitments, in-circuit BLS12-381 aggregate-signature / SHA-256 / Poseidon
+gadgets, the sync-step and committee-update application circuits, an
+aggregation/compression stage, and the surrounding witness/preprocessor/
+service layers.
+
+Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
+  fields/   limb-decomposed modular arithmetic (host oracle + JAX int32 kernels)
+  curves/   BN254 G1, BLS12-381 G1/G2 (branch-free complete-addition on TPU)
+  hashes/   SHA-256, Keccak-256, Poseidon (grain-LFSR params, pse-poseidon
+            compatible sponge)
+  poly/     NTT, Pippenger MSM, KZG/SHPLONK commitment scheme
+  plonk/    PLONKish constraint system, keygen, prover, verifier, MockProver
+  circuits/ circuit-builder DSL (halo2-lib-style) + gadgets + app circuits
+  witness/  SyncStepArgs / CommitteeUpdateArgs (serde-JSON compatible)
+  preprocessor/  beacon-chain witness acquisition
+  service/  CLI + JSON-RPC prover service
+"""
+
+__version__ = "0.1.0"

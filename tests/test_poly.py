@@ -1,0 +1,61 @@
+"""NTT and MSM vs host oracles."""
+import numpy as np
+import pytest
+
+from spectre_tpu.fields import limb as L
+from spectre_tpu.fields.params import BN254_FR as FR
+from spectre_tpu.poly.domain import Domain, root_of_unity
+from spectre_tpu.poly.ntt import ntt, intt
+from spectre_tpu.poly import msm as M
+from spectre_tpu.curves import host as H
+
+
+def test_root_of_unity():
+    for k in (1, 4, 10):
+        w = root_of_unity(k)
+        assert pow(w, 1 << k, FR) == 1
+        assert pow(w, 1 << (k - 1), FR) == FR - 1
+
+
+def test_ntt_host_oracle_small():
+    dom = Domain(3)
+    coeffs = [3, 1, 4, 1, 5, 9, 2, 6]
+    evals = dom.ntt_host(coeffs)
+    # direct evaluation check
+    for i in range(8):
+        x = pow(dom.omega, i, FR)
+        want = sum(c * pow(x, j, FR) for j, c in enumerate(coeffs)) % FR
+        assert evals[i] == want
+    assert dom.intt_host(evals) == [c % FR for c in coeffs]
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_ntt_jax_vs_host(k, rng):
+    dom = Domain(k)
+    spec = L.fr_spec
+    coeffs = [rng.randrange(FR) for _ in range(1 << k)]
+    a = spec.encode_batch(coeffs)
+    out = np.asarray(ntt(a, k))
+    got = spec.decode_batch(out)
+    assert got == dom.ntt_host(coeffs)
+    back = np.asarray(intt(out, k))
+    assert spec.decode_batch(back) == [c % FR for c in coeffs]
+
+
+def test_msm_small_vs_host(rng):
+    curve = H.bn254_g1
+    n = 5
+    pts = [curve.mul(curve.gen, rng.randrange(1, curve.p)) for _ in range(n)]
+    scalars = [rng.randrange(FR) for _ in range(n)]
+    got = M.msm(pts, scalars, "bn254_g1")
+    want = curve.msm(pts, scalars)
+    assert got == want
+
+
+def test_msm_with_identity_and_zero_scalar(rng):
+    curve = H.bn254_g1
+    pts = [curve.gen, None, curve.mul(curve.gen, 7)]
+    scalars = [0, 5, 3]
+    got = M.msm(pts, scalars, "bn254_g1")
+    want = curve.mul(curve.gen, 21)
+    assert got == want

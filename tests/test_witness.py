@@ -1,0 +1,87 @@
+"""Witness loading + native instance computation over the golden test data."""
+import json
+
+from spectre_tpu.specs import TESTNET, MINIMAL
+from spectre_tpu.ssz import BeaconBlockHeader, verify_merkle_branch, compute_signing_root
+from spectre_tpu.witness import (
+    SyncStepArgs, CommitteeUpdateArgs,
+    sync_step_instances, committee_update_instances,
+)
+
+STEP = "/root/reference/test_data/sync_step_512.json"
+ROT = "/root/reference/test_data/rotation_512.json"
+
+
+def test_step_args_roundtrip():
+    args = SyncStepArgs.from_file(STEP, TESTNET)
+    assert len(args.pubkeys_uncompressed) == 512
+    assert len(args.pariticipation_bits) == 512
+    with open(STEP) as f:
+        raw = json.load(f)
+    assert args.to_json() == raw
+
+
+def test_rotation_args_roundtrip():
+    args = CommitteeUpdateArgs.from_file(ROT, TESTNET)
+    assert len(args.pubkeys_compressed) == 512
+    with open(ROT) as f:
+        raw = json.load(f)
+    assert args.to_json() == raw
+
+
+def test_step_witness_merkle_branches_valid():
+    """The golden witness's branches verify against its roots — the same
+    pre-checks the reference preprocessor performs (step.rs:90-120)."""
+    args = SyncStepArgs.from_file(STEP, TESTNET)
+    s = args.spec
+    assert verify_merkle_branch(
+        args.finalized_header.hash_tree_root(),
+        args.finality_branch,
+        s.finalized_header_index,
+        args.attested_header.state_root,
+    )
+    assert verify_merkle_branch(
+        args.execution_payload_root,
+        args.execution_payload_branch,
+        s.execution_state_root_index,
+        args.finalized_header.body_root,
+    )
+
+
+def test_rotation_witness_committee_branch_valid():
+    import hashlib
+    args = CommitteeUpdateArgs.from_file(ROT, TESTNET)
+    s = args.spec
+    # committee pubkeys root: sha256 of each padded pubkey, then merkleize
+    chunks = [hashlib.sha256(bytes(pk) + b"\x00" * 16).digest()
+              for pk in args.pubkeys_compressed]
+    while len(chunks) > 1:
+        chunks = [hashlib.sha256(chunks[i] + chunks[i + 1]).digest()
+                  for i in range(0, len(chunks), 2)]
+    assert verify_merkle_branch(
+        chunks[0],
+        args.sync_committee_branch,
+        s.sync_committee_pubkeys_root_index,
+        args.finalized_header.state_root,
+    )
+
+
+def test_instances_cross_circuit_consistency():
+    """Step and committee-update instances share the same poseidon commitment
+    (the consistency the reference asserts in tests/step.rs:113-116)."""
+    step = SyncStepArgs.from_file(STEP, TESTNET)
+    rot = CommitteeUpdateArgs.from_file(ROT, TESTNET)
+    si = sync_step_instances(step)
+    ci = committee_update_instances(rot)
+    assert len(si[0]) == 2
+    assert len(ci[0]) == 3
+    assert si[0][1] == ci[0][0]  # poseidon commitment equality
+    # sha commitment is truncated to 253 bits
+    assert si[0][0] < 1 << 253
+
+
+def test_default_rotation_witness():
+    args = CommitteeUpdateArgs.default(MINIMAL)
+    assert len(args.pubkeys_compressed) == 32
+    inst = committee_update_instances(args)
+    assert len(inst[0]) == 3
