@@ -1,0 +1,107 @@
+"""Fiat-Shamir transcripts, halo2-compatible framing.
+
+Blake2bTranscript mirrors halo2_proofs' Blake2bWrite/Blake2bRead:
+  - blake2b, 64-byte digest, personalization b"Halo2-Transcript"
+  - domain prefixes: 0 = challenge, 1 = point, 2 = scalar
+  - squeeze: clone state, finalize, reduce 64 LE bytes mod r (from_bytes_wide)
+KeccakTranscript (EVM flavor, snark-verifier style) lands with the
+aggregation stage; the trait shape here is already split read/write so both
+slot in. Byte-exactness against the reference prover is revalidated when the
+EVM verifier path is wired (SURVEY.md §7 hard part #4).
+
+BN254 G1 points are absorbed in halo2curves' 32-byte compressed form:
+x as 32 LE bytes with the y-sign flag in the top bit (bit 255); identity is
+all zeros.
+"""
+from __future__ import annotations
+
+import hashlib
+
+from ..fields.params import BN254_FR as FR, BN254_FQ as FQ
+
+PREFIX_CHALLENGE = b"\x00"
+PREFIX_POINT = b"\x01"
+PREFIX_SCALAR = b"\x02"
+
+
+def g1_to_bytes(pt) -> bytes:
+    """halo2curves bn256::G1Affine::to_bytes (32-byte compressed LE)."""
+    if pt is None:
+        return b"\x00" * 32
+    x, y = pt
+    b = bytearray(int(x).to_bytes(32, "little"))
+    if y & 1:  # sign flag = y parity (halo2curves: y.is_odd())
+        b[31] |= 0x80
+    return bytes(b)
+
+
+def g1_from_bytes(b: bytes):
+    from ..curves.host import bn254_g1 as curve
+    from ..fields.host import sqrt_mod
+    if b == b"\x00" * 32:
+        return None
+    arr = bytearray(b)
+    sign = (arr[31] & 0x80) != 0
+    arr[31] &= 0x7F
+    x = int.from_bytes(bytes(arr), "little")
+    assert x < FQ
+    y = sqrt_mod((x * x % FQ * x + 3) % FQ, FQ)
+    assert y is not None, "invalid point encoding"
+    if (y & 1) != sign:
+        y = FQ - y
+    return (x, y)
+
+
+class Blake2bTranscript:
+    """Write/read transcript over an in-memory proof byte buffer."""
+
+    def __init__(self, proof: bytes | None = None):
+        self.state = hashlib.blake2b(digest_size=64,
+                                     person=b"Halo2-Transcript")
+        self.buf = bytearray()
+        self.read_view = memoryview(bytes(proof)) if proof is not None else None
+        self.read_off = 0
+
+    # ---- common (absorb only) ----
+    def common_point(self, pt):
+        self.state.update(PREFIX_POINT)
+        self.state.update(g1_to_bytes(pt))
+
+    def common_scalar(self, v: int):
+        self.state.update(PREFIX_SCALAR)
+        self.state.update(int(v % FR).to_bytes(32, "little"))
+
+    # ---- prover side (absorb + append to proof) ----
+    def write_point(self, pt):
+        self.common_point(pt)
+        self.buf += g1_to_bytes(pt)
+
+    def write_scalar(self, v: int):
+        self.common_scalar(v)
+        self.buf += int(v % FR).to_bytes(32, "little")
+
+    # ---- verifier side (read from proof + absorb) ----
+    def read_point(self):
+        b = bytes(self.read_view[self.read_off:self.read_off + 32])
+        self.read_off += 32
+        pt = g1_from_bytes(b)
+        self.common_point(pt)
+        return pt
+
+    def read_scalar(self) -> int:
+        b = bytes(self.read_view[self.read_off:self.read_off + 32])
+        self.read_off += 32
+        v = int.from_bytes(b, "little")
+        assert v < FR
+        self.common_scalar(v)
+        return v
+
+    def squeeze_challenge(self) -> int:
+        # halo2 Blake2bWrite::squeeze_challenge: absorb the prefix, finalize a
+        # clone; the running state is NOT re-seeded with the digest.
+        self.state.update(PREFIX_CHALLENGE)
+        digest = self.state.copy().digest()
+        return int.from_bytes(digest, "little") % FR
+
+    def proof(self) -> bytes:
+        return bytes(self.buf)

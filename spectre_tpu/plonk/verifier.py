@@ -1,0 +1,158 @@
+"""PLONK verifier (native host; KZG openings checked via test-SRS trapdoor
+until the BN254 pairing lands — see poly/kzg.py.verify_open_trapdoor)."""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from ..fields.params import BN254_FR as FR
+from ..fields.host import inv_mod
+from ..curves import host as H
+from ..poly import kzg
+from .cs import ConstraintSystem
+from .keygen import VerifyingKey, DELTA
+from .transcript import Blake2bTranscript
+from .protocol import (column_queries, eval_expr_at, lagrange_evals_at,
+                       instance_poly_eval)
+from .prover import _cs_degree, Proof
+
+
+def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
+                 instances: List[List[int]]) -> bool:
+    cs = vk.cs
+    dom = vk.domain
+    n = vk.n
+    usable = cs.usable_rows(n)
+    curve = H.bn254_g1
+
+    t = Blake2bTranscript(proof.data)
+    for col_vals in instances:
+        for v in col_vals:
+            t.common_scalar(v)
+
+    advice_comms = [t.read_point() for _ in cs.advice]
+    beta = t.squeeze_challenge()
+    gamma = t.squeeze_challenge()
+
+    d = _cs_degree(cs)
+    chunk_len = d - 2
+    perm_cols = cs.permutation_columns
+    chunks = [perm_cols[i:i + chunk_len]
+              for i in range(0, len(perm_cols), chunk_len)]
+
+    z_comms = [t.read_point() for _ in chunks]
+    rand_comm = t.read_point()
+    y = t.squeeze_challenge()
+
+    ext_k = vk.k + max(1, (d - 1).bit_length())
+    f = (1 << ext_k) // n
+    h_comms = [t.read_point() for _ in range(f)]
+
+    x = t.squeeze_challenge()
+    x_next = x * dom.omega % FR
+    x_last = x * pow(dom.omega, usable, FR) % FR
+
+    queries = column_queries(cs)
+    kind_of = {col.index: col.kind for col in cs.columns}
+    adv_idx = {col.index: i for i, col in enumerate(cs.advice)}
+    fix_idx = {col.index: i for i, col in enumerate(cs.fixed)}
+    inst_idx = {col.index: i for i, col in enumerate(cs.instance)}
+
+    evals: Dict[Tuple[int, int], int] = {}
+    claims: List[Tuple[object, int, int]] = []  # (commitment, point, value)
+
+    for (gcol, rot) in queries:
+        z = x * pow(dom.omega, rot % n, FR) % FR
+        if kind_of[gcol] == "instance":
+            vals = instances[inst_idx[gcol]]
+            evals[(gcol, rot)] = instance_poly_eval(dom, vals, z)
+            continue
+        v = t.read_scalar()
+        evals[(gcol, rot)] = v
+        comm = (advice_comms[adv_idx[gcol]] if kind_of[gcol] == "advice"
+                else vk.fixed_commitments[fix_idx[gcol]])
+        claims.append((comm, z, v))
+
+    rand_eval = t.read_scalar()
+    claims.append((rand_comm, x, rand_eval))
+
+    sigma_evals = []
+    for gi in range(len(perm_cols)):
+        v = t.read_scalar()
+        sigma_evals.append(v)
+        claims.append((vk.sigma_commitments[gi], x, v))
+
+    z_at_x, z_at_next = [], []
+    for c_idx in range(len(chunks)):
+        vx = t.read_scalar()
+        vn = t.read_scalar()
+        z_at_x.append(vx)
+        z_at_next.append(vn)
+        claims.append((z_comms[c_idx], x, vx))
+        claims.append((z_comms[c_idx], x_next, vn))
+    z_prev_last = []
+    for c_idx in range(1, len(chunks)):
+        v = t.read_scalar()
+        z_prev_last.append(v)
+        claims.append((z_comms[c_idx - 1], x_last, v))
+
+    # ---- recompute the folded constraint value at x ----
+    l0x, llastx = lagrange_evals_at(dom, x, [0, usable])
+    lblind_idx = list(range(usable + 1, n))
+    lblindx = sum(lagrange_evals_at(dom, x, lblind_idx)) % FR if lblind_idx else 0
+    lactive = (1 - llastx - lblindx) % FR
+
+    vals = []
+    for g in cs.gates:
+        for p in g.polys:
+            vals.append(eval_expr_at(p, evals))
+
+    if chunks:
+        vals.append(l0x * (1 - z_at_x[0]) % FR)
+        vals.append(llastx * (z_at_x[-1] * z_at_x[-1] - z_at_x[-1]) % FR)
+        for c in range(1, len(chunks)):
+            vals.append(l0x * (z_at_x[c] - z_prev_last[c - 1]) % FR)
+        for c_idx, chunk in enumerate(chunks):
+            base = c_idx * chunk_len
+            left = z_at_next[c_idx]
+            right = z_at_x[c_idx]
+            for off, col in enumerate(chunk):
+                gi = base + off
+                a = evals[(col, 0)]
+                left = left * ((a + beta * sigma_evals[gi] + gamma) % FR) % FR
+                right = right * ((a + beta * pow(DELTA, gi, FR) % FR * x
+                                  + gamma) % FR) % FR
+            vals.append((left - right) * lactive % FR)
+
+    folded = 0
+    for v in vals:
+        folded = (folded * y + v) % FR
+    zh_x = (pow(x, n, FR) - 1) % FR
+    expected_h = folded * inv_mod(zh_x, FR) % FR
+
+    # collapsed h commitment: sum x^{n i} [h_i]
+    xn = pow(x, n, FR)
+    h_comm = None
+    mult = 1
+    for cm in h_comms:
+        h_comm = curve.add(h_comm, curve.mul(cm, mult))
+        mult = mult * xn % FR
+    claims.append((h_comm, x, expected_h))
+
+    # ---- GWC multiopen check (trapdoor KZG) ----
+    v_ch = t.squeeze_challenge()
+    by_point: Dict[int, List[Tuple[object, int]]] = {}
+    for comm, z, val in claims:
+        by_point.setdefault(z, []).append((comm, val))
+    for z in sorted(by_point):
+        group = by_point[z]
+        F = None
+        rv = 0
+        mult = 1
+        for comm, val in group:
+            F = curve.add(F, curve.mul(comm, mult))
+            rv = (rv + mult * val) % FR
+            mult = mult * v_ch % FR
+        W = t.read_point()
+        if not kzg.verify_open_trapdoor(srs, F, z, rv, W):
+            return False
+    return True

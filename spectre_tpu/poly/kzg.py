@@ -1,0 +1,139 @@
+"""KZG commitment scheme over BN254 (the reference's ParamsKZG analog).
+
+SRS here is generated from a deterministic test tau (the reference loads
+perpetual-powers-of-tau files via PARAMS_DIR — halo2-base gen_srs,
+SURVEY.md §5 checkpoint/resume; those files aren't redistributable from this
+snapshot, so production deployments point srs_from_file at the same .srs
+format later). Commitments are device MSMs over the Lagrange-basis SRS;
+openings divide by (X - z) with an associative suffix scan.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..fields.params import BN254_FR as FR
+from ..fields.host import inv_mod
+from ..fields import limb as L
+from ..curves import host as H
+from ..curves.limbjax import bn254_g1_ops as G1OPS
+from .domain import Domain
+from . import msm as M
+
+
+@dataclass
+class SrsKZG:
+    """2^k KZG params: coeff- and Lagrange-basis G1 powers (+ test trapdoor)."""
+
+    k: int
+    g1_coeff: list          # [tau^i]G1 affine host points
+    g1_lagrange: list       # [L_i(tau)]G1 affine host points
+    g2: tuple               # generator of G2 (host affine)
+    s_g2: tuple             # [tau]G2
+    tau: int | None = None  # test trapdoor (None for external SRS)
+
+    @functools.cached_property
+    def g1_lagrange_enc(self):
+        return G1OPS.encode_points(self.g1_lagrange)
+
+    @functools.cached_property
+    def g1_coeff_enc(self):
+        return G1OPS.encode_points(self.g1_coeff)
+
+
+@functools.lru_cache(maxsize=None)
+def test_srs(k: int, seed: int = 42) -> SrsKZG:
+    """Deterministic test SRS with known trapdoor."""
+    import hashlib
+    tau = int.from_bytes(hashlib.sha256(b"spectre-tpu-srs-%d" % seed).digest(),
+                         "little") % FR
+    n = 1 << k
+    dom = Domain(k)
+    curve = H.bn254_g1
+    # coeff basis: tau^i G
+    powers = [1] * n
+    for i in range(1, n):
+        powers[i] = powers[i - 1] * tau % FR
+    g1_coeff = [curve.mul(curve.gen, p) for p in powers]
+    # lagrange basis: L_i(tau) G ; L_i(tau) = (tau^n - 1)/(n (tau - w^i)) * w^i
+    zn = (pow(tau, n, FR) - 1) % FR
+    n_inv = inv_mod(n, FR)
+    w = dom.omega
+    wi = 1
+    lag = []
+    from ..fields.host import batch_inv_mod
+    denoms = []
+    ws = []
+    for i in range(n):
+        denoms.append((tau - wi) % FR)
+        ws.append(wi)
+        wi = wi * w % FR
+    dinv = batch_inv_mod(denoms, FR)
+    for i in range(n):
+        li = zn * n_inv % FR * ws[i] % FR * dinv[i] % FR
+        lag.append(li)
+    g1_lagrange = [curve.mul(curve.gen, l) for l in lag]
+    g2 = H.P.BLS12_381_G2_GEN  # placeholder — BN254 G2 gen needed for pairing
+    # BN254 G2 generator (standard):
+    g2 = (
+        (10857046999023057135944570762232829481370756359578518086990519993285655852781,
+         11559732032986387107991004021392285783925812861821192530917403151452391805634),
+        (8495653923123431417604973247489272438418190587263600148770280649306958101930,
+         4082367875863433681332203403145435568316851327593401208105741076214120093531),
+    )
+    s_g2 = None  # computed lazily when pairing lands; trapdoor check for now
+    return SrsKZG(k, g1_coeff, g1_lagrange, g2, s_g2, tau)
+
+
+def commit_lagrange(srs: SrsKZG, evals_plain_limbs):
+    """Commit to a polynomial given by its evaluations on the domain.
+
+    evals_plain_limbs: (n, fr_limbs) canonical *plain* (non-Montgomery) limb
+    array of Fr values — MSM scalars. Returns a host affine point.
+    """
+    import jax.numpy as jnp
+    P = srs.g1_lagrange_enc
+    acc = M._msm_jit("bn254_g1", 254)(P, jnp.asarray(evals_plain_limbs))
+    return G1OPS.decode_points(tuple(np.asarray(c)[None] for c in acc))[0]
+
+
+def commit_lagrange_host(srs: SrsKZG, evals: list):
+    """Host-oracle commit (python ints)."""
+    return H.bn254_g1.msm(srs.g1_lagrange, evals)
+
+
+def commit_coeff_host(srs: SrsKZG, coeffs: list):
+    return H.bn254_g1.msm(srs.g1_coeff[:len(coeffs)], coeffs)
+
+
+def open_at_host(srs: SrsKZG, coeffs: list, z: int):
+    """KZG opening witness W = [(f(X) - f(z))/(X - z)] (host oracle).
+
+    Returns (eval, W_point).
+    """
+    # synthetic division: q_i = f_{i+1} + z*q_{i+1}
+    n = len(coeffs)
+    q = [0] * (n - 1)
+    acc = 0
+    for i in range(n - 1, 0, -1):
+        acc = (acc * z + coeffs[i]) % FR
+        q[i - 1] = acc
+    fz = (acc * z + coeffs[0]) % FR
+    W = commit_coeff_host(srs, q) if any(q) else None
+    return fz, W
+
+
+def verify_open_trapdoor(srs: SrsKZG, commitment, z: int, value: int, W):
+    """Pairing-free KZG check using the test trapdoor:
+    C - [value]G == (tau - z) * W  in G1.
+
+    Sound only for test SRS (tau known); the production verifier uses the
+    pairing e(C - [v]G, G2) == e(W, [tau - z]G2).
+    """
+    assert srs.tau is not None, "trapdoor verify requires test SRS"
+    curve = H.bn254_g1
+    lhs = curve.add(commitment, curve.neg(curve.mul(curve.gen, value)))
+    rhs = curve.mul(W, (srs.tau - z) % FR) if W is not None else None
+    return lhs == rhs

@@ -1,0 +1,93 @@
+"""End-to-end PLONK prove + verify on toy circuits (KZG test SRS)."""
+import pytest
+
+from spectre_tpu.fields.params import BN254_FR as FR
+from spectre_tpu.plonk import ConstraintSystem
+from spectre_tpu.plonk.keygen import keygen
+from spectre_tpu.plonk.prover import create_proof, Proof
+from spectre_tpu.plonk.verifier import verify_proof
+from spectre_tpu.poly import kzg as _kzg
+
+make_srs = _kzg.test_srs
+
+K = 5
+N = 1 << K
+
+
+def _fib_circuit():
+    """Fibonacci-ish chain: rows of (s, a, b, c) with s*(a+b-c)=0 plus copy
+    constraints c[i] == b[i+1], b[i] == a[i+1], and c exposed to an instance."""
+    cs = ConstraintSystem()
+    s = cs.fixed_column()
+    a = cs.advice_column()
+    b = cs.advice_column()
+    c = cs.advice_column()
+    pi = cs.instance_column()
+    for col in (a, b, c, pi):
+        cs.enable_equality(col)
+    cs.create_gate("add", s.at() * (a.at() + b.at() - c.at()))
+    return cs, (s, a, b, c, pi)
+
+
+def _fib_assign(rows):
+    a, b = 1, 1
+    s_col, a_col, b_col, c_col = [], [], [], []
+    for _ in range(rows):
+        c = (a + b) % FR
+        s_col.append(1)
+        a_col.append(a)
+        b_col.append(b)
+        c_col.append(c)
+        a, b = b, c
+    return s_col, a_col, b_col, c_col
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cs, (s, a, b, c, pi) = _fib_circuit()
+    rows = 8
+    s_col, a_col, b_col, c_col = _fib_assign(rows)
+    for i in range(rows - 1):
+        cs.copy((c.index, i), (b.index, i + 1))
+        cs.copy((b.index, i), (a.index, i + 1))
+    # expose the final value as instance[0]
+    cs.copy((c.index, rows - 1), (pi.index, 0))
+    srs = make_srs(K)
+    pk = keygen(cs, K, [s_col + [0] * (N - rows)], srs)
+    final = c_col[-1]
+    advice = [a_col, b_col, c_col]
+    return cs, srs, pk, advice, [[final]], (a, b, c, pi)
+
+
+def test_prove_and_verify(setup):
+    cs, srs, pk, advice, instances, _ = setup
+    proof = create_proof(pk, srs, advice, instances)
+    assert verify_proof(pk.vk, srs, proof, instances)
+
+
+def test_verify_rejects_wrong_instance(setup):
+    cs, srs, pk, advice, instances, _ = setup
+    proof = create_proof(pk, srs, advice, instances)
+    bad = [[(instances[0][0] + 1) % FR]]
+    assert not verify_proof(pk.vk, srs, proof, bad)
+
+
+def test_verify_rejects_tampered_proof(setup):
+    cs, srs, pk, advice, instances, _ = setup
+    proof = create_proof(pk, srs, advice, instances)
+    data = bytearray(proof.data)
+    data[40] ^= 1
+    try:
+        ok = verify_proof(pk.vk, srs, Proof(bytes(data)), instances)
+    except AssertionError:
+        ok = False  # malformed encodings are also a rejection
+    assert not ok
+
+
+def test_prover_rejects_cheating_witness(setup):
+    """A witness violating a copy constraint must fail verification."""
+    cs, srs, pk, advice, instances, _ = setup
+    bad_advice = [list(c) for c in advice]
+    bad_advice[2][3] = (bad_advice[2][3] + 1) % FR  # break chain at row 3
+    proof = create_proof(pk, srs, bad_advice, instances)
+    assert not verify_proof(pk.vk, srs, proof, instances)
