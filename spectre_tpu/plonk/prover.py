@@ -35,8 +35,38 @@ def _det_rand(seed: bytes, i: int) -> int:
 
 
 def _cs_degree(cs: ConstraintSystem) -> int:
-    # permutation constraint degree = chunk_len + 2; halo2 floors at 3
-    return max(3, cs.max_gate_degree())
+    # permutation constraint degree = chunk_len + 2; halo2 floors at 3.
+    # lookup main rule: active * (Z(wX)(A'+b)(S'+g) - Z(X)(A+b)(S+g))
+    #   degree = 1 + max(3, 1 + deg A + deg S)
+    d = max(3, cs.max_gate_degree())
+    for lk in cs.lookups:
+        da = max(e.degree() for e in lk.inputs)
+        ds = max(e.degree() for e in lk.tables)
+        d = max(d, 1 + max(3, 1 + da + ds), 4)  # 4: (A'-S')(A'-A'_prev)*act
+    return d
+
+
+def _permute_lookup_pair(a_vals, s_vals, usable: int):
+    """halo2 permute_expression_pair: sort A; build S' so each distinct A'
+    value sits against an equal table value, repeats against leftovers."""
+    a_sorted = sorted(v % FR for v in a_vals[:usable])
+    from collections import Counter
+    leftover = Counter(v % FR for v in s_vals[:usable])
+    s_perm = [None] * usable
+    repeats = []
+    for i, v in enumerate(a_sorted):
+        if i == 0 or v != a_sorted[i - 1]:
+            if leftover[v] == 0:
+                raise ValueError(f"lookup input {v} not in table")
+            leftover[v] -= 1
+            s_perm[i] = v
+        else:
+            repeats.append(i)
+    rest = list(Counter({k: c for k, c in leftover.items() if c}).elements())
+    assert len(rest) >= len(repeats)
+    for i, pos in enumerate(repeats):
+        s_perm[pos] = rest[i]
+    return a_sorted, s_perm
 
 
 def _coset_evals(dom: Domain, coeffs: List[int], ext_k: int, shift: int):
@@ -99,9 +129,6 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         advice_comms.append(cm)
         t.write_point(cm)
 
-    beta = t.squeeze_challenge()
-    gamma = t.squeeze_challenge()
-
     # column value lookup by global index
     col_evals: Dict[int, List[int]] = {}
     fi = ai = ii = 0
@@ -115,6 +142,39 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         else:
             col_evals[col.index] = inst_evals[ii]
             ii += 1
+
+    # --- 1b. lookups: compress with theta, commit permuted pairs ---
+    theta = t.squeeze_challenge()
+
+    def eval_on_rows(expr) -> List[int]:
+        from .protocol import eval_expr_on_vectors
+        return eval_expr_on_vectors(expr, col_evals, 1, n)
+
+    lookups_data = []
+    for lk in cs.lookups:
+        a_c = [0] * n
+        for e in lk.inputs:
+            ev = eval_on_rows(e)
+            a_c = [(x * theta + v) % FR for x, v in zip(a_c, ev)]
+        s_c = [0] * n
+        for e in lk.tables:
+            ev = eval_on_rows(e)
+            s_c = [(x * theta + v) % FR for x, v in zip(s_c, ev)]
+        a_perm, s_perm = _permute_lookup_pair(a_c, s_c, usable)
+        li = len(lookups_data)
+        a_perm = a_perm + [_det_rand(seed + b"la", li * n + r)
+                           for r in range(usable, n)]
+        s_perm = s_perm + [_det_rand(seed + b"ls", li * n + r)
+                           for r in range(usable, n)]
+        ca = kzg.commit_lagrange_host(srs, a_perm)
+        cs_ = kzg.commit_lagrange_host(srs, s_perm)
+        t.write_point(ca)
+        t.write_point(cs_)
+        lookups_data.append(dict(a_c=a_c, s_c=s_c, a_perm=a_perm,
+                                 s_perm=s_perm, ca=ca, cs=cs_))
+
+    beta = t.squeeze_challenge()
+    gamma = t.squeeze_challenge()
 
     # --- 2. permutation grand products (chunked) ---
     d = _cs_degree(cs)
@@ -159,6 +219,27 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         cm = kzg.commit_lagrange_host(srs, zv)
         z_comms.append(cm)
         t.write_point(cm)
+
+    # --- 2b. lookup grand products ---
+    for li, ld in enumerate(lookups_data):
+        num = [(ld["a_c"][r] + beta) % FR * ((ld["s_c"][r] + gamma) % FR) % FR
+               for r in range(n)]
+        den = [(ld["a_perm"][r] + beta) % FR
+               * ((ld["s_perm"][r] + gamma) % FR) % FR for r in range(n)]
+        den_inv = batch_inv_mod(den, FR)
+        zv = [0] * n
+        zv[0] = 1
+        acc = 1
+        for r in range(usable):
+            acc = acc * num[r] % FR * den_inv[r] % FR
+            if r + 1 < n:
+                zv[r + 1] = acc
+        for r in range(usable + 1, n):
+            zv[r] = _det_rand(seed + b"lz", li * n + r)
+        cm = kzg.commit_lagrange_host(srs, zv)
+        t.write_point(cm)
+        ld["z"] = zv
+        ld["cz"] = cm
 
     # --- 3. vanishing random poly ---
     rand_coeffs = [_det_rand(seed + b"rnd", i) for i in range(n)]
@@ -248,6 +329,45 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             constraints.append([(left[i] - right[i]) * lactive[i] % FR
                                 for i in range(n_ext)])
 
+    # lookup constraints on coset
+    from .expression import Const as _Const
+    for lk, ld in zip(cs.lookups, lookups_data):
+        def compress_coset(exprs):
+            acc = None
+            for e in exprs:
+                ev = eval_expr_on_vectors(e, coset_cache, f, n_ext)
+                if acc is None:
+                    acc = ev
+                else:
+                    acc = [(a * theta + v) % FR for a, v in zip(acc, ev)]
+            return acc
+
+        a_cos = compress_coset(lk.inputs)
+        s_cos = compress_coset(lk.tables)
+        ap_cos = _coset_evals(dom, dom.intt_host(ld["a_perm"]), ext_k, shift)
+        sp_cos = _coset_evals(dom, dom.intt_host(ld["s_perm"]), ext_k, shift)
+        z_cos = _coset_evals(dom, dom.intt_host(ld["z"]), ext_k, shift)
+        z_next = z_cos[f:] + z_cos[:f]
+        ap_prev = ap_cos[-f:] + ap_cos[:-f]
+        constraints.append([l0[i] * (1 - z_cos[i]) % FR for i in range(n_ext)])
+        constraints.append([llast[i] * (z_cos[i] * z_cos[i] - z_cos[i]) % FR
+                            for i in range(n_ext)])
+        constraints.append([
+            lactive[i] * (
+                z_next[i] * ((ap_cos[i] + beta) % FR) % FR
+                * ((sp_cos[i] + gamma) % FR)
+                - z_cos[i] * ((a_cos[i] + beta) % FR) % FR
+                * ((s_cos[i] + gamma) % FR)
+            ) % FR for i in range(n_ext)])
+        constraints.append([l0[i] * (ap_cos[i] - sp_cos[i]) % FR
+                            for i in range(n_ext)])
+        constraints.append([
+            lactive[i] * ((ap_cos[i] - sp_cos[i]) % FR)
+            * ((ap_cos[i] - ap_prev[i]) % FR) % FR for i in range(n_ext)])
+        ld["ap_coeffs"] = dom.intt_host(ld["a_perm"])
+        ld["sp_coeffs"] = dom.intt_host(ld["s_perm"])
+        ld["z_coeffs"] = dom.intt_host(ld["z"])
+
     # fold with y and divide by Z_H
     acc = [0] * n_ext
     for cvec in constraints:
@@ -327,6 +447,19 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         v = eval_at(zc, x_last)
         t.write_scalar(v)
         eval_claims.append((zc, x_last, v, z_comms[c_idx - 1]))
+
+    # lookup evals: Z(x), Z(wx), A'(x), A'(w^-1 x), S'(x)
+    x_prev = x * pow(dom.omega, n - 1, FR) % FR
+    for ld in lookups_data:
+        for coeffs, z_pt, comm in (
+                (ld["z_coeffs"], x, ld["cz"]),
+                (ld["z_coeffs"], x_next, ld["cz"]),
+                (ld["ap_coeffs"], x, ld["ca"]),
+                (ld["ap_coeffs"], x_prev, ld["ca"]),
+                (ld["sp_coeffs"], x, ld["cs"])):
+            v = eval_at(coeffs, z_pt)
+            t.write_scalar(v)
+            eval_claims.append((coeffs, z_pt, v, comm))
 
     # h collapsed: single poly sum x^{n i} h_i — open at x
     h_collapsed = [0] * n

@@ -30,6 +30,12 @@ def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
             t.common_scalar(v)
 
     advice_comms = [t.read_point() for _ in cs.advice]
+    theta = t.squeeze_challenge()
+    lookup_perm_comms = []
+    for _ in cs.lookups:
+        ca = t.read_point()
+        cst = t.read_point()
+        lookup_perm_comms.append((ca, cst))
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
 
@@ -40,6 +46,7 @@ def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
               for i in range(0, len(perm_cols), chunk_len)]
 
     z_comms = [t.read_point() for _ in chunks]
+    lookup_z_comms = [t.read_point() for _ in cs.lookups]
     rand_comm = t.read_point()
     y = t.squeeze_challenge()
 
@@ -95,6 +102,22 @@ def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
         z_prev_last.append(v)
         claims.append((z_comms[c_idx - 1], x_last, v))
 
+    x_prev = x * pow(dom.omega, n - 1, FR) % FR
+    lookup_evals = []
+    for li in range(len(cs.lookups)):
+        zx = t.read_scalar()
+        zn = t.read_scalar()
+        apx = t.read_scalar()
+        app = t.read_scalar()
+        spx = t.read_scalar()
+        lookup_evals.append((zx, zn, apx, app, spx))
+        ca, cst = lookup_perm_comms[li]
+        claims.append((lookup_z_comms[li], x, zx))
+        claims.append((lookup_z_comms[li], x_next, zn))
+        claims.append((ca, x, apx))
+        claims.append((ca, x_prev, app))
+        claims.append((cst, x, spx))
+
     # ---- recompute the folded constraint value at x ----
     l0x, llastx = lagrange_evals_at(dom, x, [0, usable])
     lblind_idx = list(range(usable + 1, n))
@@ -122,6 +145,23 @@ def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
                 right = right * ((a + beta * pow(DELTA, gi, FR) % FR * x
                                   + gamma) % FR) % FR
             vals.append((left - right) * lactive % FR)
+
+    for li, lk in enumerate(cs.lookups):
+        zx, zn, apx, app, spx = lookup_evals[li]
+        a_c = 0
+        for e in lk.inputs:
+            a_c = (a_c * theta + eval_expr_at(e, evals)) % FR
+        s_c = 0
+        for e in lk.tables:
+            s_c = (s_c * theta + eval_expr_at(e, evals)) % FR
+        vals.append(l0x * (1 - zx) % FR)
+        vals.append(llastx * (zx * zx - zx) % FR)
+        vals.append(lactive * (
+            zn * ((apx + beta) % FR) % FR * ((spx + gamma) % FR)
+            - zx * ((a_c + beta) % FR) % FR * ((s_c + gamma) % FR)) % FR)
+        vals.append(l0x * (apx - spx) % FR)
+        vals.append(lactive * ((apx - spx) % FR) % FR
+                    * ((apx - app) % FR) % FR)
 
     folded = 0
     for v in vals:
