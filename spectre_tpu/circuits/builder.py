@@ -145,15 +145,35 @@ class Context:
         return AssignedValue(self.ctx_id, base + 3, out)
 
     def inner_product(self, xs, ys) -> AssignedValue:
-        """Σ x_i * y_i; ys may be AssignedValue or int constants."""
-        acc = self.load_zero()
+        """Σ x_i * y_i; ys may be AssignedValue or int constants.
+
+        Packed layout (halo2-base flex-gate style): overlapping vertical
+        gates share the running accumulator cell —
+        [acc0][x0][y0][acc1][x1][y1][acc2]... at 3 cells per term.
+        """
+        xs = list(xs)
+        ys = list(ys)
+        if not xs:
+            return self.load_zero()
+        base = len(self.cells)
+        self.cells.append(0)
+        self.constant_pins.append((base, 0))
+        acc = 0
+        pos = base
         for x, y in zip(xs, ys):
+            yv = y.value if isinstance(y, AssignedValue) else int(y) % FR
+            acc = (acc + x.value * yv) % FR
+            self.cells.append(x.value)
+            self._copy_into(x, pos + 1)
+            self.cells.append(yv)
             if isinstance(y, AssignedValue):
-                acc = self.mul_add(x, y, acc)
+                self._copy_into(y, pos + 2)
             else:
-                t = self.mul_const(x, int(y))
-                acc = self.add(acc, t)
-        return acc
+                self.constant_pins.append((pos + 2, yv))
+            self.cells.append(acc)
+            self.gate_rows.append(pos)
+            pos += 3
+        return AssignedValue(self.ctx_id, pos, acc)
 
     def select(self, a: AssignedValue, b: AssignedValue,
                sel: AssignedValue) -> AssignedValue:
