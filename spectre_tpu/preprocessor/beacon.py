@@ -1,0 +1,49 @@
+"""Beacon-node REST client (the beacon-api-client analog, SURVEY.md §2b).
+
+Endpoints mirror preprocessor/src/lib.rs:26-126. Transport is pluggable so
+tests inject fixtures; the default uses urllib (no extra deps).
+"""
+from __future__ import annotations
+
+import json
+import urllib.request
+from typing import Any, Callable, Optional
+
+
+class BeaconClient:
+    def __init__(self, base_url: str,
+                 fetch: Optional[Callable[[str], dict]] = None):
+        self.base = base_url.rstrip("/")
+        self._fetch = fetch or self._http_get
+
+    def _http_get(self, path: str) -> dict:
+        with urllib.request.urlopen(self.base + path, timeout=30) as r:
+            return json.load(r)
+
+    def get(self, path: str) -> dict:
+        return self._fetch(path)
+
+    # ---- endpoints (preprocessor/src/lib.rs analogs) ----
+    def light_client_update_at_period(self, period: int) -> dict:
+        d = self.get(f"/eth/v1/beacon/light_client/updates"
+                     f"?start_period={period}&count=1")
+        return d[0]["data"] if isinstance(d, list) else d["data"]
+
+    def light_client_bootstrap(self, block_root: str) -> dict:
+        return self.get(
+            f"/eth/v1/beacon/light_client/bootstrap/{block_root}")["data"]
+
+    def light_client_finality_update(self) -> dict:
+        return self.get("/eth/v1/beacon/light_client/finality_update")["data"]
+
+    def beacon_header(self, block_id: str = "head") -> dict:
+        return self.get(f"/eth/v1/beacon/headers/{block_id}")["data"]
+
+    def block_root(self, block_id: str) -> str:
+        return self.get(f"/eth/v1/beacon/blocks/{block_id}/root")["data"]["root"]
+
+    def genesis(self) -> dict:
+        return self.get("/eth/v1/beacon/genesis")["data"]
+
+    def fork(self, state_id: str = "head") -> dict:
+        return self.get(f"/eth/v1/beacon/states/{state_id}/fork")["data"]

