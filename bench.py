@@ -30,16 +30,17 @@ def main():
     rng = np.random.RandomState(0)
     # random Montgomery-form limb vectors: random canonical limbs are a valid
     # representative set for throughput purposes
-    a = rng.randint(0, spec.B, size=(n, spec.n_limbs)).astype(np.int32)
+    a = jax.device_put(
+        rng.randint(0, spec.B, size=(n, spec.n_limbs)).astype(np.int32))
 
-    out = ntt(a, k)
-    jax.block_until_ready(out)  # compile + warmup
+    # warmup + compile; fetching a slice forces real completion (on
+    # tunnel-attached TPUs block_until_ready can return before execution)
+    np.asarray(ntt(a, k)[:2])
 
     iters = 3
     t0 = time.time()
     for _ in range(iters):
-        out = ntt(a, k)
-    jax.block_until_ready(out)
+        np.asarray(ntt(a, k)[:2])
     dt = (time.time() - t0) / iters
 
     value = n / dt

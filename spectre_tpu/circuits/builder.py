@@ -239,76 +239,194 @@ class CircuitBuilder:
     def instances(self) -> List[List[int]]:
         return [[av.value for av in self.exposed]]
 
+    def _layout(self, usable: int):
+        """Place virtual cells into physical columns of height `usable`.
+
+        The analog of halo2-base's break-point assignment: cells flow down a
+        column and spill into the next; a vertical-gate window must stay
+        contiguous inside one column, so a window that would straddle the
+        break is relocated to the next column, duplicating its already-placed
+        (chain-shared) prefix cells and linking them with copies.
+
+        Returns (col_vals, q_rows, placements, dup_links):
+          col_vals: per column list of values
+          q_rows:   per column list of enabled-gate rows
+          placements: virtual idx -> (col, row) primary location
+          dup_links: [((col,row),(col,row))] extra equality pairs
+        """
+        ctx = self.ctx
+        cells = ctx.cells
+        gates = sorted(ctx.gate_rows)
+        placements = {}
+        dup_links = []
+        col_vals: List[List[int]] = [[]]
+        q_rows: List[List[int]] = [[]]
+
+        def new_column():
+            col_vals.append([])
+            q_rows.append([])
+
+        def place(virt, value):
+            if len(col_vals[-1]) >= usable:
+                new_column()
+            c = col_vals[-1]
+            r = len(c)
+            c.append(value % FR)
+            pos = (len(col_vals) - 1, r)
+            if virt is not None and virt not in placements:
+                placements[virt] = pos
+            return pos
+
+        v = 0
+        for b in gates:
+            while v < b:
+                place(v, cells[v])
+                v += 1
+            shared = min(max(v - b, 0), 4)
+            if shared == 0:
+                if len(col_vals[-1]) + 4 > usable:
+                    new_column()
+                qpos = place(b, cells[b])
+                for i in range(1, 4):
+                    place(b + i, cells[b + i])
+                v = b + 4
+            elif shared < 4:
+                c0, r0 = placements[b]
+                cur = len(col_vals) - 1
+                tail_ok = (
+                    c0 == cur and r0 + shared == len(col_vals[-1])
+                    and all(placements.get(b + i) == (c0, r0 + i)
+                            for i in range(shared)))
+                if tail_ok and r0 + 4 <= usable:
+                    qpos = (c0, r0)
+                else:
+                    new_column()
+                    qpos = None
+                    for i in range(shared):
+                        pos = place(None, cells[b + i])
+                        dup_links.append((placements[b + i], pos))
+                        if i == 0:
+                            qpos = pos
+                for i in range(shared, 4):
+                    place(b + i, cells[b + i])
+                v = b + 4
+            else:
+                # whole window already placed: must be contiguous (true for
+                # all emission patterns in this builder)
+                c0, r0 = placements[b]
+                assert all(placements[b + i] == (c0, r0 + i)
+                           for i in range(4)), "non-contiguous gate window"
+                qpos = (c0, r0)
+            q_rows[qpos[0]].append(qpos[1])
+        while v < len(cells):
+            place(v, cells[v])
+            v += 1
+        return col_vals, q_rows, placements, dup_links
+
     def compile(self, k: int):
         """Lay out into plonk columns. Returns (cs, fixed_evals,
         advice_evals, instances)."""
         n = 1 << k
         cs = ConstraintSystem()
         ctx = self.ctx
+        # tentative usable-row count: the vertical gate (degree 3) and the
+        # range lookup (degree 4 rule) dominate; ConstraintSystem recomputes
+        # blinding from the final gate set, which matches this shape.
+        usable_probe = n - 7
+        col_vals, q_rows, placements, dup_links = self._layout(usable_probe)
+        n_adv = len(col_vals)
 
-        q_col = cs.fixed_column()
         const_col = cs.fixed_column()
-        adv = cs.advice_column()
-        cs.enable_equality(adv)
         cs.enable_equality(const_col)
+        q_cols = [cs.fixed_column() for _ in range(n_adv)]
+        adv_cols = [cs.advice_column() for _ in range(n_adv)]
+        for a in adv_cols:
+            cs.enable_equality(a)
         inst = cs.instance_column()
         cs.enable_equality(inst)
 
-        a0 = adv.at(0)
-        cs.create_gate("vertical",
-                       q_col.at() * (adv.at(0) + adv.at(1) * adv.at(2)
-                                     - adv.at(3)))
+        for q, a in zip(q_cols, adv_cols):
+            cs.create_gate("vertical",
+                           q.at() * (a.at(0) + a.at(1) * a.at(2) - a.at(3)))
 
-        table_col = lookup_col = None
+        table_col = None
+        lookup_cols = []
+        usable = cs.usable_rows(n)
+        assert usable == usable_probe, "blinding-row probe out of sync"
         if self.lookup_bits is not None:
             table_col = cs.fixed_column()
-            lookup_col = cs.advice_column()
-            cs.enable_equality(lookup_col)
-            cs.add_lookup("range", [lookup_col.at()], [table_col.at()])
+            n_lk = max(1, -(-len(ctx.lookup_cells) // usable))
+            for _ in range(n_lk):
+                lc = cs.advice_column()
+                cs.enable_equality(lc)
+                cs.add_lookup("range", [lc.at()], [table_col.at()])
+                lookup_cols.append(lc)
 
-        usable = cs.usable_rows(n)
-        n_cells = len(ctx.cells)
-        assert n_cells + 3 <= usable, (
-            f"circuit needs {n_cells} cells; k={k} gives {usable} usable rows")
+        for c in col_vals:
+            assert len(c) <= usable, (
+                f"layout used {len(c)} rows > usable {usable} at k={k}")
 
-        # advice column values
-        adv_vals = list(ctx.cells) + [0] * (n - n_cells)
-        q_vals = [0] * n
-        for r in ctx.gate_rows:
-            q_vals[r] = 1
+        def phys(virt):
+            c, r = placements[virt]
+            return (adv_cols[c].index, r)
 
-        # constants column: unique constants, copies from cells
+        # constants column (may spill into extra fixed columns)
         const_values: List[int] = []
         const_row: dict = {}
         for cell, cval in ctx.constant_pins:
             if cval not in const_row:
                 const_row[cval] = len(const_values)
                 const_values.append(cval)
-        const_vals = const_values + [0] * (n - len(const_values))
-        assert len(const_values) <= usable
+        extra_const_cols = []
+        while len(const_values) > usable * (1 + len(extra_const_cols)):
+            ec = cs.fixed_column()
+            cs.enable_equality(ec)
+            extra_const_cols.append(ec)
+        all_const_cols = [const_col] + extra_const_cols
+
+        def const_pos(cval):
+            i = const_row[cval]
+            return (all_const_cols[i // usable].index, i % usable)
 
         for cell, cval in ctx.constant_pins:
-            cs.copy((adv.index, cell), (const_col.index, const_row[cval]))
+            cs.copy(phys(cell), const_pos(cval))
         for a, b in ctx.equalities:
-            cs.copy((adv.index, a), (adv.index, b))
-
-        # instance exposure
+            cs.copy(phys(a), phys(b))
+        for (pa, pb) in dup_links:
+            cs.copy((adv_cols[pa[0]].index, pa[1]),
+                    (adv_cols[pb[0]].index, pb[1]))
         for i, av in enumerate(self.exposed):
-            cs.copy((adv.index, av.idx), (inst.index, i))
+            cs.copy(phys(av.idx), (inst.index, i))
 
-        fixed_evals = [q_vals, const_vals]
-        advice_evals = [adv_vals]
+        # ---- column value tables ----
+        const_vals_cols = []
+        for ci in range(len(all_const_cols)):
+            vals = const_values[ci * usable:(ci + 1) * usable]
+            const_vals_cols.append(vals + [0] * (n - len(vals)))
+        q_vals_cols = []
+        for rows in q_rows:
+            qv = [0] * n
+            for r in rows:
+                qv[r] = 1
+            q_vals_cols.append(qv)
+        adv_vals_cols = [c + [0] * (n - len(c)) for c in col_vals]
+
+        fixed_evals = [const_vals_cols[0]] + q_vals_cols + const_vals_cols[1:]
+        advice_evals = list(adv_vals_cols)
 
         if self.lookup_bits is not None:
             tb = 1 << self.lookup_bits
             assert tb <= usable
             table_vals = list(range(tb)) + [0] * (n - tb)
-            lk_vals = [0] * n
-            assert len(ctx.lookup_cells) <= usable, "too many lookup cells"
-            for r, cell in enumerate(ctx.lookup_cells):
-                lk_vals[r] = ctx.cells[cell]
-                cs.copy((adv.index, cell), (lookup_col.index, r))
             fixed_evals.append(table_vals)
-            advice_evals.append(lk_vals)
+            for li, lc in enumerate(lookup_cols):
+                lk_vals = [0] * n
+                for r, cell in enumerate(
+                        ctx.lookup_cells[li * usable:(li + 1) * usable]):
+                    lk_vals[r] = ctx.cells[cell]
+                    cs.copy(phys(cell), (lc.index, r))
+                advice_evals.append(lk_vals)
 
+        # fixed_evals must follow cs.fixed order:
+        # [const_col] + q_cols + extra_const_cols + [table_col]
         return cs, fixed_evals, advice_evals, self.instances()

@@ -66,12 +66,18 @@ def _ntt_jit(k: int, inverse: bool, scale: bool):
             return ops.canon(out, amplitude=2)
         return ops.canon(out, amplitude=amp_pow2)
 
+    # twiddle tables / bitrev live on device once per domain (transfers over
+    # a tunnel-attached TPU otherwise dominate the runtime)
+    state = {}
+
     def wrapper(a):
-        tables = tuple(
-            jnp.asarray(t)
-            for t in (dom.twiddles_inv if inverse else dom.twiddles_fwd))
-        return f(a, jnp.asarray(dom.bitrev.astype(np.int32)), tables,
-                 jnp.asarray(dom.n_inv_mont))
+        if "tables" not in state:
+            state["tables"] = tuple(
+                jax.device_put(t)
+                for t in (dom.twiddles_inv if inverse else dom.twiddles_fwd))
+            state["bitrev"] = jax.device_put(dom.bitrev.astype(np.int32))
+            state["n_inv"] = jax.device_put(dom.n_inv_mont)
+        return f(a, state["bitrev"], state["tables"], state["n_inv"])
 
     return wrapper
 

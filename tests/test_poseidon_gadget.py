@@ -48,7 +48,8 @@ def test_sponge_circuit_mock_verifies():
     g.update(ctx.assign_many([7, 8, 9]))
     out = g.squeeze()
     b.expose_public(out)
-    k = 16
+    # ~35k cells at k=13 (8185 usable rows) forces the multi-column layout
+    k = 13
     cs, fixed, advice, instances = b.compile(k)
     spec = L.fr_spec
     n = 1 << k
