@@ -55,6 +55,7 @@ class Context:
         self.equalities: List[Tuple[int, int]] = []
         self.constant_pins: List[Tuple[int, int]] = []  # (cell_idx, const)
         self.lookup_cells: List[int] = []
+        self.table_pins: dict = {}              # table name -> [cell tuples]
 
     # ---- raw cell assignment ----
     def assign(self, value: int) -> AssignedValue:
@@ -221,6 +222,13 @@ class Context:
     def pin_lookup(self, a: AssignedValue):
         self.lookup_cells.append(a.idx)
 
+    # ---- custom fixed-table lookups (e.g. the SHA-256 spread table) ----
+    def pin_table(self, name: str, cells):
+        """Record that the tuple of cells must appear as a row of table
+        `name` (registered via CircuitBuilder.add_table)."""
+        self.table_pins.setdefault(name, []).append(
+            tuple(c.idx for c in cells))
+
 
 class CircuitBuilder:
     """Holds contexts + instance exposure; compiles to (cs, assignments)."""
@@ -229,6 +237,12 @@ class CircuitBuilder:
         self.ctx = Context(0)
         self.lookup_bits = lookup_bits
         self.exposed: List[AssignedValue] = []
+        self.tables: dict = {}   # name -> list of column value-lists
+
+    def add_table(self, name: str, columns):
+        """Register a fixed table (list of equal-length value columns)."""
+        assert name not in self.tables
+        self.tables[name] = [list(c) for c in columns]
 
     def main(self) -> Context:
         return self.ctx
@@ -427,6 +441,31 @@ class CircuitBuilder:
                     cs.copy(phys(cell), (lc.index, r))
                 advice_evals.append(lk_vals)
 
-        # fixed_evals must follow cs.fixed order:
-        # [const_col] + q_cols + extra_const_cols + [table_col]
+        # ---- custom fixed tables + their pinned lookups ----
+        for name, columns in self.tables.items():
+            arity = len(columns)
+            rows = len(columns[0])
+            assert rows <= usable, f"table {name} taller than usable rows"
+            # table rows must include the all-zero padding row for the
+            # pin-columns' unused rows
+            tcols = [cs.fixed_column() for _ in range(arity)]
+            fixed_evals.extend(
+                [list(c) + [0] * (n - rows) for c in columns])
+            pins = ctx.table_pins.get(name, [])
+            n_pin_cols = max(1, -(-len(pins) // usable))
+            for pi in range(n_pin_cols):
+                acols = [cs.advice_column() for _ in range(arity)]
+                for a in acols:
+                    cs.enable_equality(a)
+                cs.add_lookup(f"table:{name}:{pi}",
+                              [a.at() for a in acols],
+                              [t.at() for t in tcols])
+                vals = [[0] * n for _ in range(arity)]
+                for r, cells in enumerate(
+                        pins[pi * usable:(pi + 1) * usable]):
+                    for j, cell in enumerate(cells):
+                        vals[j][r] = ctx.cells[cell]
+                        cs.copy(phys(cell), (acols[j].index, r))
+                advice_evals.extend(vals)
+
         return cs, fixed_evals, advice_evals, self.instances()

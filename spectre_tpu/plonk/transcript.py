@@ -105,3 +105,41 @@ class Blake2bTranscript:
 
     def proof(self) -> bytes:
         return bytes(self.buf)
+
+
+class KeccakTranscript(Blake2bTranscript):
+    """EVM-flavor transcript (snark-verifier style): Keccak-256 state.
+
+    Points/scalars are absorbed as raw bytes into a running buffer; each
+    challenge hashes the buffer and reseeds it with the digest. Used by the
+    aggregation/EVM path; byte-parity against snark-verifier's
+    ChallengeEvm is pinned when the Solidity verifier generator lands
+    (SURVEY.md §7 hard part #4).
+    """
+
+    def __init__(self, proof: bytes | None = None):
+        self.buf = bytearray()
+        self.absorbed = bytearray()
+        self.read_view = memoryview(bytes(proof)) if proof is not None else None
+        self.read_off = 0
+
+    def common_point(self, pt):
+        from ..fields.params import BN254_FQ as FQ
+        if pt is None:
+            self.absorbed += b"\x00" * 64
+        else:
+            x, y = pt
+            self.absorbed += int(x).to_bytes(32, "big")
+            self.absorbed += int(y).to_bytes(32, "big")
+
+    def common_scalar(self, v: int):
+        self.absorbed += int(v % FR).to_bytes(32, "big")
+
+    def squeeze_challenge(self) -> int:
+        from ..hashes.keccak import keccak256
+        # domain-separate consecutive squeezes with a 0x01 byte
+        if not self.absorbed:
+            self.absorbed += b"\x01"
+        digest = keccak256(bytes(self.absorbed))
+        self.absorbed = bytearray(digest)
+        return int.from_bytes(digest, "big") % FR
