@@ -24,23 +24,23 @@ def main():
     n = 1 << k
 
     from spectre_tpu.fields import limb as L
-    from spectre_tpu.poly.ntt import ntt
+    from spectre_tpu.poly.ntt_fast import ntt_t
 
     spec = L.fr_spec
     rng = np.random.RandomState(0)
-    # random Montgomery-form limb vectors: random canonical limbs are a valid
-    # representative set for throughput purposes
+    # random Montgomery-form limb vectors in transposed (limb, batch) layout:
+    # random canonical limbs are a valid representative set for throughput
     a = jax.device_put(
-        rng.randint(0, spec.B, size=(n, spec.n_limbs)).astype(np.int32))
+        rng.randint(0, spec.B, size=(spec.n_limbs, n)).astype(np.int32))
 
     # warmup + compile; fetching a slice forces real completion (on
     # tunnel-attached TPUs block_until_ready can return before execution)
-    np.asarray(ntt(a, k)[:2])
+    np.asarray(ntt_t(a, k)[:, :2])
 
     iters = 3
     t0 = time.time()
     for _ in range(iters):
-        np.asarray(ntt(a, k)[:2])
+        np.asarray(ntt_t(a, k)[:, :2])
     dt = (time.time() - t0) / iters
 
     value = n / dt

@@ -235,25 +235,36 @@ def _carry_exact(spec: FieldSpec, t):
 def _schoolbook(spec: FieldSpec, a, b):
     """Full (2n+1)-limb product of two relaxed limb vectors.
 
-    One outer product + one 0/1 matmul (anti-diagonal summation) — a single
-    dot_general, which XLA maps onto the MXU.
+    Pad-and-sum convolution: n shifted partial products summed as full-width
+    vectors — n^2 MACs total (the 0/1-matmul formulation costs n^2·(2n+1)
+    MACs on the VPU since int32 dots don't ride the MXU; measured ~20x
+    slower on v5e).
     """
     n = spec.n_limbs
-    prod = a[..., :, None] * b[..., None, :]
-    flat = prod.reshape(prod.shape[:-2] + (n * n,))
-    conv = jnp.asarray(spec.conv_matrix)
-    return jax.lax.dot_general(
-        flat, conv, (((flat.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    pad_cfg = [(0, 0)] * len(batch)
+    parts = [
+        jnp.pad(a[..., i:i + 1] * b, pad_cfg + [(i, n + 1 - i)])
+        for i in range(n)
+    ]
+    t = parts[0]
+    for p in parts[1:]:
+        t = t + p
+    return t
 
 
-def _redc(spec: FieldSpec, t):
+# REDC word-loop policy: unrolled is ~4-6x faster at runtime (XLA fuses the
+# iterations, no while-loop HBM roundtrips) but inlines ~10 ops per word per
+# call site; scan keeps graphs tiny for compile-heavy compositions (MSM
+# Horner bodies etc. set this False around their traces).
+REDC_UNROLL = True
+
+
+def _redc(spec: FieldSpec, t, unroll: bool | None = None):
     """Montgomery reduction of a (2n+1)-limb accumulator -> n relaxed limbs.
 
     Scatter-free: low-half carries are tracked in a running scalar, and the
-    m·p·B^i contributions are full-width adds of precomputed rows. The
-    sequential word loop is a lax.scan so the graph stays tiny no matter how
-    many mont_muls a caller inlines (compile-time critical).
+    m·p·B^i contributions are full-width adds of precomputed rows.
     """
     n = spec.n_limbs
     mask = spec.B - 1
@@ -262,18 +273,28 @@ def _redc(spec: FieldSpec, t):
     p0 = jnp.int32(int(spec.p_limbs[0]))
     rows = jnp.asarray(spec.p_shift_rows)
     c0 = jnp.zeros(t.shape[:-1], dtype=jnp.int32)
+    if unroll is None:
+        unroll = REDC_UNROLL
 
-    def body(carry, xs):
-        t, c = carry
-        row, i = xs
-        v = jnp.take(t, i, axis=-1) + c
-        m = (v & mask) * n0inv & mask
-        t = t + m[..., None] * row
-        c = (v + m * p0) >> sh
-        return (t, c), None
+    if unroll:
+        c = c0
+        for i in range(n):
+            v = t[..., i] + c
+            m = (v & mask) * n0inv & mask
+            t = t + m[..., None] * rows[i]
+            c = (v + m * p0) >> sh
+    else:
+        def body(carry, xs):
+            t, c = carry
+            row, i = xs
+            v = jnp.take(t, i, axis=-1) + c
+            m = (v & mask) * n0inv & mask
+            t = t + m[..., None] * row
+            c = (v + m * p0) >> sh
+            return (t, c), None
 
-    (t, c), _ = jax.lax.scan(
-        body, (t, c0), (rows, jnp.arange(n, dtype=jnp.int32)))
+        (t, c), _ = jax.lax.scan(
+            body, (t, c0), (rows, jnp.arange(n, dtype=jnp.int32)))
     r = t[..., n:2 * n]
     r = jnp.concatenate([r[..., :1] + c[..., None], r[..., 1:]], axis=-1)
     return _carry_relax(spec, r, passes=2)
