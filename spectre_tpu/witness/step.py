@@ -60,6 +60,55 @@ class SyncStepArgs:
         }
 
 
+def default_sync_step_args(spec: Spec = TESTNET) -> SyncStepArgs:
+    """Deterministic dummy witness for keygen/tests (witness/step.rs:53-137):
+    mock merkle branches + a real aggregate BLS signature over the forged
+    attested header from seeded keys."""
+    import hashlib as _hl
+    from ..ssz import mock_root, compute_signing_root
+    from ..curves import host as CH
+    from ..curves.hash_to_curve import hash_to_g2
+    from ..curves.host import bls_g2_host, g2_compress, g1_to_uncompressed
+    from ..fields.params import BLS12_381_FR
+
+    domain = bytes([7, 0, 0, 0, 48, 83, 175, 74, 95, 250, 246, 166, 104, 40,
+                    151, 228, 42, 212, 194, 8, 48, 56, 232, 147, 61, 9, 41,
+                    204, 88, 234, 56, 134])
+    execution_root = b"\x00" * 32
+    execution_branch = [b"\x00" * 32] * spec.execution_state_root_depth
+    body_root = mock_root(execution_root, execution_branch,
+                          spec.execution_state_root_index)
+    finalized = BeaconBlockHeader(body_root=body_root)
+    finality_branch = [b"\x00" * 32] * spec.finalized_header_depth
+    attested_state = mock_root(finalized.hash_tree_root(), finality_branch,
+                               spec.finalized_header_index)
+    attested = BeaconBlockHeader(state_root=attested_state)
+    signing_root = compute_signing_root(attested.hash_tree_root(), domain)
+
+    sks = [int.from_bytes(_hl.sha256(b"spectre-tpu-sk-%d" % i).digest(),
+                          "little") % BLS12_381_FR
+           for i in range(spec.sync_committee_size)]
+    msg = hash_to_g2(signing_root, spec.dst)
+    agg_sig = None
+    for sk in sks:
+        agg_sig = bls_g2_host.add(agg_sig, bls_g2_host.mul(msg, sk))
+    pubkeys = [g1_to_uncompressed(CH.bls_g1.mul(CH.bls_g1.gen, sk))
+               for sk in sks]
+
+    return SyncStepArgs(
+        signature_compressed=g2_compress(agg_sig),
+        pubkeys_uncompressed=pubkeys,
+        pariticipation_bits=[True] * spec.sync_committee_size,
+        attested_header=attested,
+        finalized_header=finalized,
+        finality_branch=finality_branch,
+        execution_payload_root=execution_root,
+        execution_payload_branch=execution_branch,
+        domain=domain,
+        spec=spec,
+    )
+
+
 def sync_step_instances(args: SyncStepArgs, limb_bits: int = LIMB_BITS) -> list:
     """Native mirror of StepCircuit::get_instances (sync_step_circuit.rs:228-276).
 
