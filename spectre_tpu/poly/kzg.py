@@ -75,15 +75,15 @@ def test_srs(k: int, seed: int = 42) -> SrsKZG:
         li = zn * n_inv % FR * ws[i] % FR * dinv[i] % FR
         lag.append(li)
     g1_lagrange = [curve.mul(curve.gen, l) for l in lag]
-    g2 = H.P.BLS12_381_G2_GEN  # placeholder — BN254 G2 gen needed for pairing
-    # BN254 G2 generator (standard):
+    # BN254 G2 generator (standard) and [tau]G2
     g2 = (
         (10857046999023057135944570762232829481370756359578518086990519993285655852781,
          11559732032986387107991004021392285783925812861821192530917403151452391805634),
         (8495653923123431417604973247489272438418190587263600148770280649306958101930,
          4082367875863433681332203403145435568316851327593401208105741076214120093531),
     )
-    s_g2 = None  # computed lazily when pairing lands; trapdoor check for now
+    from .g2_host import bn254_g2_mul
+    s_g2 = bn254_g2_mul(g2, tau)
     return SrsKZG(k, g1_coeff, g1_lagrange, g2, s_g2, tau)
 
 
@@ -129,11 +129,27 @@ def verify_open_trapdoor(srs: SrsKZG, commitment, z: int, value: int, W):
     """Pairing-free KZG check using the test trapdoor:
     C - [value]G == (tau - z) * W  in G1.
 
-    Sound only for test SRS (tau known); the production verifier uses the
-    pairing e(C - [v]G, G2) == e(W, [tau - z]G2).
+    Sound only for test SRS (tau known); verify_open_pairing below is the
+    production check.
     """
     assert srs.tau is not None, "trapdoor verify requires test SRS"
     curve = H.bn254_g1
     lhs = curve.add(commitment, curve.neg(curve.mul(curve.gen, value)))
     rhs = curve.mul(W, (srs.tau - z) % FR) if W is not None else None
     return lhs == rhs
+
+
+def verify_open_pairing(srs: SrsKZG, commitment, z: int, value: int, W) -> bool:
+    """Production KZG check, product form:
+    e(W, [tau]G2) · e([z]W + [v]G - C, G2) == 1
+    (equivalent to e(C - [v]G, G2) == e(W, [tau - z]G2))."""
+    from ..curves.pairing import bn254
+    curve = H.bn254_g1
+    if W is None:
+        lhs = curve.add(commitment, curve.neg(curve.mul(curve.gen, value)))
+        return lhs is None
+    acc = curve.add(curve.mul(W, z % FR),
+                    curve.add(commitment,
+                              curve.neg(curve.mul(curve.gen, value % FR))))
+    eng = bn254()
+    return eng.pairing_check([(curve.neg(W), srs.s_g2), (acc, srs.g2)])
