@@ -6,6 +6,10 @@ Checks, given a full assignment:
   * every copy constraint holds,
   * every lookup input row appears in its table,
   * instance columns match the provided instances.
+
+Copy/lookup checks run on canonical plain-limb numpy views (byte-row set
+membership) — no per-row python decoding, so 2^17-row circuits with
+hundreds of thousands of copies verify in seconds.
 """
 from __future__ import annotations
 
@@ -16,8 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import limb as L
-from ..fields.params import BN254_FR as FR
-from .cs import ConstraintSystem, INSTANCE
+from .cs import ConstraintSystem
 from .expression import eval_expr
 
 
@@ -31,10 +34,15 @@ class MockProver:
         self.spec = spec
         self.columns = [jnp.asarray(c, jnp.int32) for c in columns]
         assert len(self.columns) == len(cs.columns)
+        self._ops = L.make_ops(spec)
+
+    def _plain_rows(self, arr) -> np.ndarray:
+        """Device canonical plain limbs -> (rows, n_limbs) int32 numpy."""
+        return np.asarray(self._ops.from_mont(arr))
 
     def verify(self, raise_on_failure: bool = True) -> List[str]:
         failures: List[str] = []
-        ops = L.make_ops(self.spec)
+        ops = self._ops
         usable = self.cs.usable_rows(self.n)
 
         @jax.jit
@@ -59,30 +67,48 @@ class MockProver:
                         f"gate '{g.name}' poly {pi} fails at rows "
                         f"{bad[:8].tolist()}{'...' if bad.size > 8 else ''}")
 
-        # copy constraints
-        if self.cs.copies:
-            host_cols = [np.asarray(c) for c in self.columns]
-            for (ca, ra), (cb, rb) in self.cs.copies:
-                va = self.spec.decode(host_cols[ca][ra])
-                vb = self.spec.decode(host_cols[cb][rb])
-                if va != vb:
-                    failures.append(
-                        f"copy ({ca},{ra}) != ({cb},{rb}): {va} vs {vb}")
+        # canonical plain views for copies (built lazily, per column)
+        plain_cache = {}
 
-        # lookups (host check: set membership of decoded tuples)
-        for lk in self.cs.lookups:
-            inp = [np.asarray(eval_expr(e, self.columns, self.spec))
-                   for e in lk.inputs]
-            tab = [np.asarray(eval_expr(e, self.columns, self.spec))
-                   for e in lk.tables]
-            inp_vals = [tuple(self.spec.decode(c[r]) for c in inp)
-                        for r in range(usable)]
-            tab_vals = {tuple(self.spec.decode(c[r]) for c in tab)
-                        for r in range(self.n)}
-            for r, tupl in enumerate(inp_vals):
-                if tupl not in tab_vals:
+        def plain(col_idx) -> np.ndarray:
+            if col_idx not in plain_cache:
+                plain_cache[col_idx] = self._plain_rows(self.columns[col_idx])
+            return plain_cache[col_idx]
+
+        # copy constraints: vectorized gather + compare per column pair
+        if self.cs.copies:
+            from collections import defaultdict
+            by_pair = defaultdict(list)
+            for (ca, ra), (cb, rb) in self.cs.copies:
+                by_pair[(ca, cb)].append((ra, rb))
+            for (ca, cb), pairs in by_pair.items():
+                ra = np.array([p[0] for p in pairs])
+                rb = np.array([p[1] for p in pairs])
+                va = plain(ca)[ra]
+                vb = plain(cb)[rb]
+                neq = np.nonzero((va != vb).any(axis=1))[0]
+                for j in neq[:4]:
                     failures.append(
-                        f"lookup '{lk.name}' row {r}: {tupl} not in table")
+                        f"copy ({ca},{int(ra[j])}) != ({cb},{int(rb[j])})")
+
+        # lookups: byte-row set membership on canonical plain limbs
+        for lk in self.cs.lookups:
+            inp = [self._plain_rows(eval_expr(e, self.columns, self.spec))
+                   for e in lk.inputs]
+            tab = [self._plain_rows(eval_expr(e, self.columns, self.spec))
+                   for e in lk.tables]
+            inp_rows = np.concatenate(inp, axis=1)[:usable]
+            tab_rows = np.concatenate(tab, axis=1)
+            row_bytes = inp_rows.astype("<i4").tobytes()
+            width = inp_rows.shape[1] * 4
+            table_set = set()
+            tb = tab_rows.astype("<i4").tobytes()
+            for r in range(tab_rows.shape[0]):
+                table_set.add(tb[r * width:(r + 1) * width])
+            for r in range(inp_rows.shape[0]):
+                if row_bytes[r * width:(r + 1) * width] not in table_set:
+                    failures.append(
+                        f"lookup '{lk.name}' row {r} not in table")
                     break
 
         if failures and raise_on_failure:
