@@ -277,6 +277,20 @@ def _schoolbook(spec: FieldSpec, a, b):
 REDC_UNROLL = True
 
 
+class compact_redc:
+    """Context manager: trace mont_muls with the scan-based REDC (small
+    graphs) — for compositions that inline very many muls (MSM scans)."""
+
+    def __enter__(self):
+        global REDC_UNROLL
+        self._saved = REDC_UNROLL
+        REDC_UNROLL = False
+
+    def __exit__(self, *exc):
+        global REDC_UNROLL
+        REDC_UNROLL = self._saved
+
+
 def _redc(spec: FieldSpec, t, unroll: bool | None = None):
     """Montgomery reduction of a (2n+1)-limb accumulator -> n relaxed limbs.
 

@@ -107,6 +107,85 @@ def butterfly_kernel(spec_name: str, T: int = 512):
 
 
 @functools.lru_cache(maxsize=None)
+def padd_kernel(spec_name: str, b3: int, T: int = 256):
+    """Fused RCB complete addition on transposed (n, N) coordinate blocks.
+
+    (X1,Y1,Z1,X2,Y2,Z2) -> (X3,Y3,Z3); 12 mont-muls + 2 b3-muls + adds all
+    in VMEM. Used by MSM tree reductions where the XLA formulation spills
+    every intermediate to HBM.
+    """
+    spec = {s.name: s for s in
+            (L.fr_spec, L.fq_spec, L.bls_fq_spec, L.bls_fr_spec)}[spec_name]
+    n = spec.n_limbs
+    mask = spec.B - 1
+    sh = spec.limb_bits
+    b3_limbs = [int(x) for x in spec.encode(b3)]
+    eightp = [int(x) for x in L.int_to_limbs(8 * spec.p, spec.limb_bits, n)]
+
+    def relax(x, passes=1):
+        for _ in range(passes):
+            cr = x >> sh
+            x = (x & mask) + jnp.pad(cr[:-1], ((1, 0), (0, 0)))
+        return x
+
+    def add(a, b):
+        return relax(a + b, 1)
+
+    def sub(a, b):
+        # a - b + 8p, signed-safe relax
+        d = a - b
+        d = jnp.concatenate([d[j:j + 1] + eightp[j] for j in range(n)], axis=0)
+        return relax(d, 2)
+
+    def mulc_b3(a):
+        b3a = jnp.concatenate([jnp.full_like(a[:1], v) for v in b3_limbs],
+                              axis=0)
+        return _mont_mul_rows(spec, a, b3a)
+
+    def mul(a, b):
+        return _mont_mul_rows(spec, a, b)
+
+    def kernel(x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r):
+        X1, Y1, Z1 = x1r[...], y1r[...], z1r[...]
+        X2, Y2, Z2 = x2r[...], y2r[...], z2r[...]
+        t0 = mul(X1, X2)
+        t1 = mul(Y1, Y2)
+        t2 = mul(Z1, Z2)
+        t3 = mul(add(X1, Y1), add(X2, Y2))
+        t3 = sub(t3, add(t0, t1))
+        t4 = mul(add(Y1, Z1), add(Y2, Z2))
+        t4 = sub(t4, add(t1, t2))
+        X3 = mul(add(X1, Z1), add(X2, Z2))
+        Y3 = sub(X3, add(t0, t2))
+        X3 = add(add(t0, t0), t0)
+        t2 = mulc_b3(t2)
+        Z3 = add(t1, t2)
+        t1 = sub(t1, t2)
+        Y3 = mulc_b3(Y3)
+        x3r[...] = sub(mul(t3, t1), mul(t4, Y3))
+        y3r[...] = add(mul(Y3, X3), mul(t1, Z3))
+        z3r[...] = add(mul(Z3, t4), mul(X3, t3))
+
+    @jax.jit
+    def run(X1, Y1, Z1, X2, Y2, Z2):
+        N = X1.shape[-1]
+        Tb = min(T, N)
+        assert N % Tb == 0
+        grid = (N // Tb,)
+        bs = pl.BlockSpec((n, Tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bs] * 6,
+            out_specs=[bs] * 3,
+            out_shape=[jax.ShapeDtypeStruct((n, N), jnp.int32)] * 3,
+            interpret=_interpret(),
+        )(X1, Y1, Z1, X2, Y2, Z2)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def mont_mul_kernel(spec_name: str, T: int = 512):
     """Plain fused mont_mul on transposed (n, N) blocks."""
     spec = {s.name: s for s in

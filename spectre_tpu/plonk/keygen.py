@@ -99,8 +99,8 @@ def keygen(cs: ConstraintSystem, k: int, fixed_evals: List[List[int]],
     fixed_coeffs = [dom.intt_host(e) for e in fixed_evals]
     sigma_coeffs = [dom.intt_host(e) for e in sigma_evals]
 
-    fixed_comms = [kzg.commit_lagrange_host(srs, e) for e in fixed_evals]
-    sigma_comms = [kzg.commit_lagrange_host(srs, e) for e in sigma_evals]
+    fixed_comms = [kzg.commit_lagrange_auto(srs, e) for e in fixed_evals]
+    sigma_comms = [kzg.commit_lagrange_auto(srs, e) for e in sigma_evals]
 
     vk = VerifyingKey(k, cs, fixed_comms, sigma_comms, dom)
     return ProvingKey(vk, fixed_evals, fixed_coeffs, sigma_evals,

@@ -125,7 +125,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             col[r] = _det_rand(seed + b"adv", ci * n + r)
     advice_comms = []
     for col in advice_evals:
-        cm = kzg.commit_lagrange_host(srs, col)
+        cm = kzg.commit_lagrange_auto(srs, col)
         advice_comms.append(cm)
         t.write_point(cm)
 
@@ -166,8 +166,8 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                            for r in range(usable, n)]
         s_perm = s_perm + [_det_rand(seed + b"ls", li * n + r)
                            for r in range(usable, n)]
-        ca = kzg.commit_lagrange_host(srs, a_perm)
-        cs_ = kzg.commit_lagrange_host(srs, s_perm)
+        ca = kzg.commit_lagrange_auto(srs, a_perm)
+        cs_ = kzg.commit_lagrange_auto(srs, s_perm)
         t.write_point(ca)
         t.write_point(cs_)
         lookups_data.append(dict(a_c=a_c, s_c=s_c, a_perm=a_perm,
@@ -216,7 +216,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
 
     z_comms = []
     for zv in z_evals_all:
-        cm = kzg.commit_lagrange_host(srs, zv)
+        cm = kzg.commit_lagrange_auto(srs, zv)
         z_comms.append(cm)
         t.write_point(cm)
 
@@ -236,14 +236,14 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                 zv[r + 1] = acc
         for r in range(usable + 1, n):
             zv[r] = _det_rand(seed + b"lz", li * n + r)
-        cm = kzg.commit_lagrange_host(srs, zv)
+        cm = kzg.commit_lagrange_auto(srs, zv)
         t.write_point(cm)
         ld["z"] = zv
         ld["cz"] = cm
 
     # --- 3. vanishing random poly ---
     rand_coeffs = [_det_rand(seed + b"rnd", i) for i in range(n)]
-    rand_comm = kzg.commit_coeff_host(srs, rand_coeffs)
+    rand_comm = kzg.commit_coeff_auto(srs, rand_coeffs)
     t.write_point(rand_comm)
 
     y = t.squeeze_challenge()
@@ -387,7 +387,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     h_pieces = [h_coeffs[i * n:(i + 1) * n] for i in range(f)]
     h_comms = []
     for piece in h_pieces:
-        cm = kzg.commit_coeff_host(srs, piece)
+        cm = kzg.commit_coeff_auto(srs, piece)
         h_comms.append(cm)
         t.write_point(cm)
 

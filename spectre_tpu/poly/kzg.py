@@ -104,6 +104,38 @@ def commit_lagrange_host(srs: SrsKZG, evals: list):
     return H.bn254_g1.msm(srs.g1_lagrange, evals)
 
 
+# device-MSM threshold: below this the host double-and-add is faster than a
+# tunnel roundtrip + kernel dispatch
+DEVICE_MSM_MIN = 2048
+
+
+def commit_lagrange_auto(srs: SrsKZG, evals: list):
+    """Commit via device Pippenger for large columns, host MSM otherwise."""
+    n = len(evals)
+    if n < DEVICE_MSM_MIN:
+        return commit_lagrange_host(srs, evals)
+    from .msm_pippenger import msm_pippenger
+    import jax.numpy as jnp
+    if not hasattr(srs, "_lag_enc"):
+        X, Y, Z = srs.g1_lagrange_enc
+        srs._lag_enc = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+    enc = tuple(c[:n] for c in srs._lag_enc)
+    return msm_pippenger(None, evals, "bn254_g1", points_enc=enc)
+
+
+def commit_coeff_auto(srs: SrsKZG, coeffs: list):
+    n = len(coeffs)
+    if n < DEVICE_MSM_MIN:
+        return commit_coeff_host(srs, coeffs)
+    from .msm_pippenger import msm_pippenger
+    import jax.numpy as jnp
+    if not hasattr(srs, "_coeff_enc"):
+        X, Y, Z = srs.g1_coeff_enc
+        srs._coeff_enc = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+    enc = tuple(c[:n] for c in srs._coeff_enc)
+    return msm_pippenger(None, coeffs, "bn254_g1", points_enc=enc)
+
+
 def commit_coeff_host(srs: SrsKZG, coeffs: list):
     return H.bn254_g1.msm(srs.g1_coeff[:len(coeffs)], coeffs)
 
@@ -121,7 +153,7 @@ def open_at_host(srs: SrsKZG, coeffs: list, z: int):
         acc = (acc * z + coeffs[i]) % FR
         q[i - 1] = acc
     fz = (acc * z + coeffs[0]) % FR
-    W = commit_coeff_host(srs, q) if any(q) else None
+    W = commit_coeff_auto(srs, q) if any(q) else None
     return fz, W
 
 

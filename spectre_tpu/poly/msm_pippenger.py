@@ -1,0 +1,130 @@
+"""Pippenger MSM, TPU-shaped: sorted buckets + segmented associative scan.
+
+Scalars originate on the host (prover commits), so digit extraction, the
+stable sort permutation, and segment boundaries are precomputed with numpy;
+the device does the only heavy part — one segmented inclusive scan with the
+branch-free complete-addition monoid per window (work-efficient
+associative_scan ≈ 2N adds/window, all windows' digits from one host pass).
+Bucket tails come back to the host for the tiny weighted aggregation
+(running-sum trick) and the window fold — a few thousand host EC adds.
+
+Cost: ~2·⌈254/c⌉·N device complete-adds (vs 254·N for the bit-serial
+baseline in msm.py) + O(W·2^c) host adds.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import limb as L
+from ..curves import host as H
+from ..curves.limbjax import CurveOps, bn254_g1_ops, bls_g1_ops
+
+CURVES = {
+    "bn254_g1": (bn254_g1_ops, H.bn254_g1),
+    "bls12_381_g1": (bls_g1_ops, H.bls_g1),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _segscan_jit(curve_name: str):
+    cops = CURVES[curve_name][0]
+
+    @jax.jit
+    def run(X, Y, Z, start_flags):
+        """Segmented inclusive scan along axis 0 of (N, n_limbs) coords;
+        start_flags is (N, 1) int32."""
+
+        def combine(a, b):
+            ax, ay, az, af = a
+            bx, by, bz, bf = b
+            sx, sy, sz = cops.padd_graph((ax, ay, az), (bx, by, bz))
+            keep = bf.astype(bool)
+            return (jnp.where(keep, bx, sx),
+                    jnp.where(keep, by, sy),
+                    jnp.where(keep, bz, sz),
+                    af | bf)
+
+        return jax.lax.associative_scan(
+            combine, (X, Y, Z, start_flags), axis=0)
+
+    return run
+
+
+def msm_pippenger(points, scalars, curve: str = "bn254_g1",
+                  c: int = 8, n_bits: int = 254, points_enc=None):
+    """Host affine points + int scalars -> affine point | None.
+
+    points_enc: optional pre-encoded device (X, Y, Z) tuple — pass for
+    repeated MSMs over a fixed base (SRS commits) to skip re-encoding.
+    """
+    cops, hcurve = CURVES[curve]
+    N = len(scalars)
+    if N == 0:
+        return None
+    W = -(-n_bits // c)
+    n_buckets = 1 << c
+
+    if points_enc is None:
+        assert len(points) == N
+        Xh, Yh, Zh = cops.encode_points(points)   # (N, n_limbs) each
+        Xt, Yt, Zt = jnp.asarray(Xh), jnp.asarray(Yh), jnp.asarray(Zh)
+    else:
+        Xt, Yt, Zt = points_enc
+    seg = _segscan_jit(curve)
+
+    total = None
+    # process windows high-to-low so the final fold is Horner with c doublings
+    for w in range(W - 1, -1, -1):
+        keys = np.array([(s >> (c * w)) & (n_buckets - 1) for s in scalars],
+                        dtype=np.int64)
+        # keep the zero bucket in the sort so every window has the same
+        # static shape (one compile per N); it is skipped at aggregation
+        order = np.argsort(keys, kind="stable")
+        sk_nz = keys[order]
+        if total is not None:
+            for _ in range(c):
+                total = hcurve.add(total, total)
+        if not sk_nz.any():
+            continue
+        flags = np.ones(sk_nz.size, dtype=np.int32)
+        flags[1:] = (sk_nz[1:] != sk_nz[:-1]).astype(np.int32)
+        idx = jnp.asarray(order.astype(np.int32))
+        Xs = jnp.take(Xt, idx, axis=0)
+        Ys = jnp.take(Yt, idx, axis=0)
+        Zs = jnp.take(Zt, idx, axis=0)
+        flags2 = jnp.asarray(flags[:, None])
+        with L.compact_redc():
+            sx, sy, sz, _ = seg(Xs, Ys, Zs, flags2)
+        # segment tails = positions before each next segment start + last
+        tails = np.nonzero(np.append(flags[1:], 1))[0]
+        tidx = jnp.asarray(tails.astype(np.int32))
+        tx = np.asarray(jnp.take(sx, tidx, axis=0))
+        ty = np.asarray(jnp.take(sy, tidx, axis=0))
+        tz = np.asarray(jnp.take(sz, tidx, axis=0))
+        bucket_pts = cops.decode_points((tx, ty, tz))
+        bucket_ids = sk_nz[tails]
+        keep = bucket_ids != 0
+        bucket_pts = [p for p, k in zip(bucket_pts, keep) if k]
+        bucket_ids = bucket_ids[keep]
+        # weighted aggregation: running-sum trick over descending bucket ids
+        acc = None
+        win_sum = None
+        prev = None
+        for bid, pt in sorted(zip(bucket_ids.tolist(), bucket_pts),
+                              reverse=True):
+            if prev is not None and bid < prev:
+                # multiply the running acc by the gap via repeated additions
+                for _ in range(prev - bid - 1):
+                    win_sum = hcurve.add(win_sum, acc)
+            acc = hcurve.add(acc, pt)
+            win_sum = hcurve.add(win_sum, acc)
+            prev = bid
+        if prev is not None and prev > 1:
+            for _ in range(prev - 1):
+                win_sum = hcurve.add(win_sum, acc)
+        total = hcurve.add(total, win_sum)
+    return total

@@ -1,0 +1,26 @@
+"""Sorted-bucket Pippenger MSM vs host oracle (small sizes on CPU)."""
+import pytest
+
+from spectre_tpu.poly.msm_pippenger import msm_pippenger
+from spectre_tpu.curves import host as H
+from spectre_tpu.fields.params import BN254_FR as FR
+
+
+@pytest.mark.parametrize("n", [1, 2, 13, 40])
+def test_pippenger_vs_host(n, rng):
+    curve = H.bn254_g1
+    pts = [curve.mul(curve.gen, rng.randrange(1, curve.p)) for _ in range(n)]
+    scalars = [rng.randrange(FR) for _ in range(n)]
+    if n > 1:
+        scalars[0] = 0
+        pts[-1] = None
+    got = msm_pippenger(pts, scalars, "bn254_g1", c=8)
+    assert got == curve.msm(pts, scalars)
+
+
+def test_pippenger_bls_curve(rng):
+    curve = H.bls_g1
+    pts = [curve.mul(curve.gen, rng.randrange(1, 1 << 64)) for _ in range(9)]
+    scalars = [rng.randrange(1 << 255) for _ in range(9)]
+    got = msm_pippenger(pts, scalars, "bls12_381_g1", c=8, n_bits=255)
+    assert got == curve.msm(pts, scalars)
