@@ -56,7 +56,11 @@ def test_srs(k: int, seed: int = 42) -> SrsKZG:
     powers = [1] * n
     for i in range(1, n):
         powers[i] = powers[i - 1] * tau % FR
-    g1_coeff = [curve.mul(curve.gen, p) for p in powers]
+    if n >= 8192:
+        from .msm import batch_fixed_base_mul
+        g1_coeff = batch_fixed_base_mul(powers, "bn254_g1")
+    else:
+        g1_coeff = [curve.mul(curve.gen, p) for p in powers]
     # lagrange basis: L_i(tau) G ; L_i(tau) = (tau^n - 1)/(n (tau - w^i)) * w^i
     zn = (pow(tau, n, FR) - 1) % FR
     n_inv = inv_mod(n, FR)
@@ -74,7 +78,11 @@ def test_srs(k: int, seed: int = 42) -> SrsKZG:
     for i in range(n):
         li = zn * n_inv % FR * ws[i] % FR * dinv[i] % FR
         lag.append(li)
-    g1_lagrange = [curve.mul(curve.gen, l) for l in lag]
+    if n >= 8192:
+        from .msm import batch_fixed_base_mul
+        g1_lagrange = batch_fixed_base_mul(lag, "bn254_g1")
+    else:
+        g1_lagrange = [curve.mul(curve.gen, l) for l in lag]
     # BN254 G2 generator (standard) and [tau]G2
     g2 = (
         (10857046999023057135944570762232829481370756359578518086990519993285655852781,

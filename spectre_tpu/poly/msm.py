@@ -116,3 +116,69 @@ def msm(points, scalars, curve: str = "bn254_g1", n_bits: int = 254):
 def msm_device(P, scalars_plain, curve: str = "bn254_g1", n_bits: int = 254):
     """Device-resident entry for use inside larger jits."""
     return _msm_jit(curve, n_bits)(P, scalars_plain)
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_jit(curve_name: str, n_bits: int):
+    cops = {"bn254_g1": bn254_g1_ops, "bls12_381_g1": bls_g1_ops}[curve_name]
+
+    @jax.jit
+    def f(table, scalars_plain):
+        """table: (n_bits, 3, n_limbs) multiples 2^j*G; scalars (N, s_limbs).
+
+        Returns per-scalar points (3 coord arrays of (N, n_limbs)):
+        tree-reduce over the bit axis of bit-selected table entries.
+        """
+        spec = {"bn254_g1": L.fr_spec,
+                "bls12_381_g1": L.bls_fr_spec}[curve_name]
+        sb = spec.limb_bits
+        ident = tuple(jnp.asarray(c) for c in cops.identity_like(()))
+        bits = jnp.stack([
+            _bit_of(scalars_plain, b, sb).astype(bool)
+            for b in range(n_bits)
+        ], axis=1)  # (N, n_bits)
+        sel = tuple(
+            jnp.where(bits[..., None], table[None, :, ci, :],
+                      i[None, None, :])
+            for ci, i in enumerate(ident)
+        )  # each (N, n_bits, n_limbs)
+        from ..fields import limb as LL
+        with LL.compact_redc():
+            out = _tree_reduce_axis(cops, sel, n_bits)
+        return out
+
+    return f
+
+
+def batch_fixed_base_mul(scalars, curve: str = "bn254_g1",
+                         n_bits: int = 254, chunk: int = 8192):
+    """[s_i]G for many scalars — device tree-reduction over bit-selected
+    precomputed doublings. Used for SRS generation at big k (the host loop
+    costs hours at 2^17+)."""
+    import numpy as np
+    from ..curves import host as CH
+    cops = {"bn254_g1": bn254_g1_ops, "bls12_381_g1": bls_g1_ops}[curve]
+    hcurve = {"bn254_g1": CH.bn254_g1, "bls12_381_g1": CH.bls_g1}[curve]
+    scalar_spec = {"bn254_g1": L.fr_spec,
+                   "bls12_381_g1": L.bls_fr_spec}[curve]
+    # host: 2^j G table
+    mults = []
+    pt = hcurve.gen
+    for _ in range(n_bits):
+        mults.append(pt)
+        pt = hcurve.add(pt, pt)
+    X, Y, Z = cops.encode_points(mults)
+    table = jnp.asarray(np.stack([X, Y, Z], axis=1))  # (n_bits, 3, limbs)
+    f = _fixed_base_jit(curve, n_bits)
+    out = []
+    N = len(scalars)
+    chunk = min(chunk, max(1, N))
+    for off in range(0, N, chunk):
+        sl = list(scalars[off:off + chunk])
+        pad = chunk - len(sl)
+        sl += [0] * pad  # 0*G = identity; keeps shapes static
+        sp = jnp.asarray(scalars_to_plain_limbs(sl, scalar_spec))
+        coords = f(table, sp)
+        pts = cops.decode_points(tuple(np.asarray(c) for c in coords))
+        out.extend(pts[:chunk - pad])
+    return out

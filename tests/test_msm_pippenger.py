@@ -24,3 +24,12 @@ def test_pippenger_bls_curve(rng):
     scalars = [rng.randrange(1 << 255) for _ in range(9)]
     got = msm_pippenger(pts, scalars, "bls12_381_g1", c=8, n_bits=255)
     assert got == curve.msm(pts, scalars)
+
+
+def test_batch_fixed_base_mul(rng):
+    from spectre_tpu.poly.msm import batch_fixed_base_mul
+    from spectre_tpu.curves.host import bn254_g1 as curve
+    scalars = [0, 1, 2] + [rng.randrange(FR) for _ in range(5)]
+    got = batch_fixed_base_mul(scalars, "bn254_g1", chunk=4)
+    want = [curve.mul(curve.gen, s) for s in scalars]
+    assert got == want
