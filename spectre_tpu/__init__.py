@@ -21,3 +21,25 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the limb-arithmetic graphs (unrolled
+# 24-iteration REDC inside every mont_mul) are compile-heavy; caching them
+# on disk makes repeated test/bench runs start warm. Also covers the
+# tunnel-attached TPU, whose compile latency is highly variable.
+import os as _os
+
+
+def _enable_compile_cache():
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "SPECTRE_JAX_CACHE", _os.path.expanduser("~/.cache/spectre_jax"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()

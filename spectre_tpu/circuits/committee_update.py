@@ -28,14 +28,33 @@ from .poseidon_gadget import g1_array_poseidon_gadget
 FOLD_LO_BYTES = 26  # (LIMB_BITS/8)*2 with LIMB_BITS=104
 SIGN_PACK = 252     # Fr::CAPACITY - 1
 
-
-def _bytes_to_cells(ctx: Context, data: bytes) -> List[AssignedValue]:
-    return ctx.assign_many(list(data))
+U8_TABLE = "u8"
 
 
-def _u64_chunk_cells(ctx: Context, value: int) -> List[AssignedValue]:
+def _register_u8(b: CircuitBuilder):
+    if U8_TABLE not in b.tables:
+        b.add_table(U8_TABLE, [list(range(256))])
+
+
+def _bytes_to_cells(b: CircuitBuilder, data: bytes) -> List[AssignedValue]:
+    """Assign input bytes AND range-constrain each to [0, 256).
+
+    Without the per-byte constraint a malicious witness can shift value
+    between adjacent bytes inside a SHA word (digest_bytes_cells only binds
+    the mod-r 4-byte recombination) while the Poseidon 26/22-byte fold
+    regroups the same cells differently — breaking the root↔commitment
+    binding (round-1 advisor finding; ref SHA chips byte-constrain inputs)."""
+    ctx = b.main()
+    cells = ctx.assign_many(list(data))
+    for c in cells:
+        ctx.pin_table(U8_TABLE, [c])
+    return cells
+
+
+def _u64_chunk_cells(b: CircuitBuilder, value: int) -> List[AssignedValue]:
+    ctx = b.main()
     le = int(value).to_bytes(8, "little")
-    return _bytes_to_cells(ctx, le) + [ctx.load_constant(0)] * 24
+    return _bytes_to_cells(b, le) + [ctx.load_constant(0)] * 24
 
 
 class CommitteeUpdateCircuit(AppCircuit):
@@ -47,6 +66,7 @@ class CommitteeUpdateCircuit(AppCircuit):
     def build(cls, witness: CommitteeUpdateArgs, spec: Spec) -> CircuitBuilder:
         b = CircuitBuilder()
         chip = Sha256Chip(b)
+        _register_u8(b)
         ctx = b.main()
 
         # ---- assign pubkeys, decode X + y sign ----
@@ -54,7 +74,7 @@ class CommitteeUpdateCircuit(AppCircuit):
         x_pairs: List[List[AssignedValue]] = []
         y_signs: List[AssignedValue] = []
         for pk in witness.pubkeys_compressed:
-            cells = _bytes_to_cells(ctx, bytes(pk))  # BE bytes
+            cells = _bytes_to_cells(b, bytes(pk))  # BE bytes
             pk_cells.append(cells)
             le = list(reversed(cells))
             masked = le[47]
@@ -87,18 +107,18 @@ class CommitteeUpdateCircuit(AppCircuit):
 
         # ---- finalized header root ----
         h = witness.finalized_header
-        state_root_cells = _bytes_to_cells(ctx, bytes(h.state_root))
+        state_root_cells = _bytes_to_cells(b, bytes(h.state_root))
         header_chunks = [
-            _u64_chunk_cells(ctx, h.slot),
-            _u64_chunk_cells(ctx, h.proposer_index),
-            _bytes_to_cells(ctx, bytes(h.parent_root)),
+            _u64_chunk_cells(b, h.slot),
+            _u64_chunk_cells(b, h.proposer_index),
+            _bytes_to_cells(b, bytes(h.parent_root)),
             state_root_cells,
-            _bytes_to_cells(ctx, bytes(h.body_root)),
+            _bytes_to_cells(b, bytes(h.body_root)),
         ]
         header_root = ssz_merkleize_chunks(chip, ctx, header_chunks)
 
         # ---- committee root proven into the finalized state root ----
-        branch = [_bytes_to_cells(ctx, bytes(n))
+        branch = [_bytes_to_cells(b, bytes(n))
                   for n in witness.sync_committee_branch]
         verify_merkle_proof(chip, ctx, committee_root, branch,
                             spec.sync_committee_pubkeys_root_index,

@@ -119,7 +119,7 @@ class Scaled(Expr):
 
 
 def eval_expr(expr: Expr, columns, spec: L.FieldSpec = L.fr_spec,
-              challenges=(), amp_budget: int = 16):
+              challenges=(), amp_budget: int = 16, rot_unit: int = 1):
     # amp_budget capped so products of two folded sums stay inside the REDC
     # headroom: amp_budget^2 < B^n/p (= 2^10 for 24-limb BN254).
     """Evaluate an expression over column tensors.
@@ -127,7 +127,8 @@ def eval_expr(expr: Expr, columns, spec: L.FieldSpec = L.fr_spec,
     columns: (n_cols, n_rows, n_limbs) Montgomery limb tensor (or list of
     per-column (n_rows, n_limbs) arrays). Returns (n_rows, n_limbs) with
     amplitude <= 2 (products) or small (sums are folded when the static
-    amplitude budget is exceeded).
+    amplitude budget is exceeded). rot_unit scales rotations (the extension
+    factor when evaluating on an extended coset).
     """
     ops = L.make_ops(spec)
 
@@ -142,7 +143,7 @@ def eval_expr(expr: Expr, columns, spec: L.FieldSpec = L.fr_spec,
         if isinstance(e, ColumnRef):
             col = columns[e.index]
             if e.rotation:
-                col = jnp.roll(col, -e.rotation, axis=0)
+                col = jnp.roll(col, -e.rotation * rot_unit, axis=0)
             return col, 2
         if isinstance(e, Sum):
             acc, amp = rec(e.terms[0])

@@ -5,13 +5,24 @@ AppCircuit::create_pk (util/circuit.rs:119-137). Cells are labeled
 delta^i · omega^j (delta = g^2^S generates the non-2-adic part, so column
 cosets are disjoint); copy cycles are built union-find style and each sigma
 column evaluates to the label of the cycle-successor cell.
+
+Device pipeline: sigma columns are materialized on device from the
+(col, row) mapping arrays via two gathers + one multiply against
+precomputed delta/omega power tables — no host big-int column loops — and
+commitments use the one-call device Pippenger. The ProvingKey keeps only
+the compact mapping (int32) plus host fixed lists; Montgomery tensors and
+coefficient forms are built lazily per process and cached.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
 
+import numpy as np
+
 from ..fields.params import BN254_FR as FR, BN254_FR_GENERATOR as GEN, BN254_FR_S as S
+from ..fields import limb as L
 from ..poly.domain import Domain
 from ..poly import kzg
 from .cs import ConstraintSystem
@@ -35,44 +46,99 @@ class VerifyingKey:
 @dataclass
 class ProvingKey:
     vk: VerifyingKey
-    fixed_evals: List[List[int]]       # per fixed column, n evals
-    fixed_coeffs: List[List[int]]
-    sigma_evals: List[List[int]]       # per permutation column
-    sigma_coeffs: List[List[int]]
-    # permutation cycle successor: per perm column, list of (col_pos, row)
-    mapping: List[List[Tuple[int, int]]]
+    fixed_evals: List[List[int]]       # per fixed column, n host ints
+    # permutation mapping: (m, n, 2) int32 of (col_pos, row) successors
+    mapping: np.ndarray
+    _dev: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_dev"] = {}
+        return d
+
+    # ---- lazy device caches (per process) ----
+    def _gidx_fixed(self, gidx: int) -> int:
+        for i, col in enumerate(self.vk.cs.fixed):
+            if col.index == gidx:
+                return i
+        raise KeyError(gidx)
+
+    def dev_fixed(self, gidx: int):
+        """Device Montgomery eval column for global fixed column `gidx`."""
+        key = ("fixed", gidx)
+        if key not in self._dev:
+            from ..poly import fr_vec as V
+            self._dev[key] = V.upload_ints(
+                self.fixed_evals[self._gidx_fixed(gidx)], self.vk.n)
+        return self._dev[key]
+
+    def dev_sigma(self, gi: int):
+        """Device Montgomery sigma eval column for permutation position gi."""
+        key = ("sigma", gi)
+        if key not in self._dev:
+            self._dev[key] = _sigma_dev(
+                self.vk.domain, self.mapping[gi], len(self.mapping))
+        return self._dev[key]
+
+    def dev_sigma_coeffs(self, gi: int):
+        key = ("sigma_c", gi)
+        if key not in self._dev:
+            from ..poly import fr_vec as V
+            self._dev[key] = V.intt_dev(self.dev_sigma(gi), self.vk.k)
+        return self._dev[key]
 
 
-def _build_permutation(cs: ConstraintSystem, n: int):
-    """Cycle structure over equality-enabled columns; returns mapping and
-    sigma eval tables."""
-    perm_cols = cs.permutation_columns       # global column indices
+def _sigma_dev(dom: Domain, map_i: np.ndarray, m: int):
+    """sigma evals for one permutation column: delta^{ti} * omega^{tj}."""
+    import jax
+    import jax.numpy as jnp
+    from ..poly import fr_vec as V
+    deltas = V.upload_ints([pow(DELTA, i, FR) for i in range(m)], m)
+    omegas = V.powers(dom.omega, dom.n)
+
+    @jax.jit
+    def f(ti, tj, deltas, omegas):
+        return V.ops.mont_mul(deltas[ti], omegas[tj])
+
+    return f(jnp.asarray(map_i[:, 0]), jnp.asarray(map_i[:, 1]),
+             deltas, omegas)
+
+
+def _build_permutation(cs: ConstraintSystem, n: int) -> np.ndarray:
+    """Cycle structure over equality-enabled columns -> (m, n, 2) successor
+    mapping (halo2 assembly semantics: splice by swapping successors)."""
+    perm_cols = cs.permutation_columns
     col_pos = {c: i for i, c in enumerate(perm_cols)}
     m = len(perm_cols)
-    # mapping[i][j] = (i, j) initially (identity)
-    mapping = [[(i, j) for j in range(n)] for i in range(m)]
-    aux = [[(i, j) for j in range(n)] for i in range(m)]  # cycle leader
-    sizes = {}
+    mapping = np.empty((m, n, 2), np.int32)
+    for i in range(m):
+        mapping[i, :, 0] = i
+        mapping[i, :, 1] = np.arange(n)
+    # leaders with path compression over flattened cell ids
+    aux = np.arange(m * n, dtype=np.int64)
 
-    def leader(cell):
-        i, j = cell
-        while aux[i][j] != (i, j):
-            i, j = aux[i][j]
-        return (i, j)
+    def leader(c: int) -> int:
+        root = c
+        while aux[root] != root:
+            root = aux[root]
+        while aux[c] != root:
+            aux[c], c = root, aux[c]
+        return root
 
     for (ca, ra), (cb, rb) in cs.copies:
         assert ca in col_pos and cb in col_pos, (
             "copy on column without enable_equality")
-        a = (col_pos[ca], ra)
-        b = (col_pos[cb], rb)
+        a = col_pos[ca] * n + ra
+        b = col_pos[cb] * n + rb
         la, lb = leader(a), leader(b)
         if la == lb:
             continue
-        # cycle splice (halo2 assembly semantics): swap the successors of the
-        # two cells themselves, then union the leader sets
-        mapping[a[0]][a[1]], mapping[b[0]][b[1]] = (
-            mapping[b[0]][b[1]], mapping[a[0]][a[1]])
-        aux[la[0]][la[1]] = lb
+        ai, aj = divmod(a, n)
+        bi, bj = divmod(b, n)
+        tmp = mapping[ai, aj].copy()
+        mapping[ai, aj] = mapping[bi, bj]
+        mapping[bi, bj] = tmp
+        aux[la] = lb
 
     return mapping
 
@@ -80,28 +146,22 @@ def _build_permutation(cs: ConstraintSystem, n: int):
 def keygen(cs: ConstraintSystem, k: int, fixed_evals: List[List[int]],
            srs: kzg.SrsKZG) -> ProvingKey:
     """fixed_evals: per fixed column, length-2^k int evaluations."""
+    from ..poly import fr_vec as V
     n = 1 << k
     dom = Domain(k)
     assert len(fixed_evals) == len(cs.fixed)
+    fixed_evals = [list(e) + [0] * (n - len(e)) for e in fixed_evals]
 
     mapping = _build_permutation(cs, n)
     m = len(cs.permutation_columns)
 
-    # labels: cell (i, j) -> delta^i * omega^j
-    deltas = [pow(DELTA, i, FR) for i in range(m)]
-    omegas = [1] * n
-    for j in range(1, n):
-        omegas[j] = omegas[j - 1] * dom.omega % FR
-
-    sigma_evals = [[deltas[ti] * omegas[tj] % FR
-                    for (ti, tj) in mapping[i]] for i in range(m)]
-
-    fixed_coeffs = [dom.intt_host(e) for e in fixed_evals]
-    sigma_coeffs = [dom.intt_host(e) for e in sigma_evals]
-
-    fixed_comms = [kzg.commit_lagrange_auto(srs, e) for e in fixed_evals]
-    sigma_comms = [kzg.commit_lagrange_auto(srs, e) for e in sigma_evals]
+    fixed_comms = []
+    for e in fixed_evals:
+        fixed_comms.append(kzg.commit_lagrange_col(srs, V.upload_ints(e, n)))
+    sigma_comms = []
+    for i in range(m):
+        sig = _sigma_dev(dom, mapping[i], m)
+        sigma_comms.append(kzg.commit_lagrange_col(srs, sig))
 
     vk = VerifyingKey(k, cs, fixed_comms, sigma_comms, dom)
-    return ProvingKey(vk, fixed_evals, fixed_coeffs, sigma_evals,
-                      sigma_coeffs, mapping)
+    return ProvingKey(vk, fixed_evals, mapping)

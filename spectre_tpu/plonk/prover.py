@@ -1,31 +1,55 @@
-"""PLONK prover (halo2 protocol shape: gates + chunked permutation +
-vanishing + rotation multiopen).
+"""PLONK prover — device polynomial pipeline (halo2 protocol shape: gates +
+chunked permutation + lookups + vanishing + rotation multiopen).
 
-v1 engine: exact host-int polynomial arithmetic orchestrated per the halo2
-transcript order (advice commits → β,γ → permutation Z commits → random poly
-→ y → quotient commits → x → evals → multiopen). Commits are KZG over the
-test SRS. Device offload (NTT/MSM/grand-product kernels already exist in
-poly/) replaces the host math behind the same step boundaries — the
-transcript layout is the stable contract.
+Transcript order mirrors halo2 create_proof (advice commits → θ → lookup
+permuted commits → β,γ → permutation/lookup Z commits → random poly → y →
+quotient commits → x → evals → GWC multiopen), the stable contract with
+verifier.py. Round 1 executed every polynomial step with host python ints
+(VERDICT "what's missing" #4); this version keeps whole columns on device as
+(n, 24) int32 Montgomery limb tensors (poly/fr_vec) and only moves single
+scalars across the host boundary:
 
-Lookups: not yet in the argument (landing with the range chip); the CS
-accepts them and the MockProver checks them.
+  * column ↔ coefficient moves and coset extension: device NTT
+    (pallas-fused on TPU, whole-array XLA on the CPU test mesh);
+  * grand products: masked log-depth prefix products + one-inversion
+    batched inverse;
+  * quotient: per-constraint coset evaluation with an LRU of extended
+    column cosets (bounds HBM at big k), folded into the running y-fold;
+  * openings: log-depth Horner suffix division;
+  * commits: one-call device Pippenger (poly/msm_pippenger.commit_dev).
+
+Lookup permuted pairs (A', S') keep halo2's sorted-pair semantics; the
+sort/matching runs on small host integers (numpy argsort over the raw
+column values) while the committed field values never leave the device.
 """
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
+import numpy as np
+import jax.numpy as jnp
+
 from ..fields.params import BN254_FR as FR
 from ..fields.host import inv_mod, batch_inv_mod
+from ..fields import limb as L
 from ..poly.domain import Domain
 from ..poly import kzg
+from ..poly import fr_vec as V
 from .cs import ConstraintSystem
 from .keygen import ProvingKey, DELTA
 from .transcript import Blake2bTranscript
-from .protocol import column_queries, eval_expr_on_vectors
-from .expression import ColumnRef
+from .protocol import column_queries
+from .expression import (Expr, Const, ColumnRef, Sum, Prod, Scaled,
+                         eval_expr)
+
+ops = V.ops
+spec = V.spec
+NL = V.NL
+
+COSET_CACHE_CAP = int(os.environ.get("SPECTRE_COSET_CACHE", "12"))
 
 
 def _det_rand(seed: bytes, i: int) -> int:
@@ -36,61 +60,319 @@ def _det_rand(seed: bytes, i: int) -> int:
 
 def _cs_degree(cs: ConstraintSystem) -> int:
     # permutation constraint degree = chunk_len + 2; halo2 floors at 3.
-    # lookup main rule: active * (Z(wX)(A'+b)(S'+g) - Z(X)(A+b)(S+g))
-    #   degree = 1 + max(3, 1 + deg A + deg S)
     d = max(3, cs.max_gate_degree())
     for lk in cs.lookups:
         da = max(e.degree() for e in lk.inputs)
         ds = max(e.degree() for e in lk.tables)
-        d = max(d, 1 + max(3, 1 + da + ds), 4)  # 4: (A'-S')(A'-A'_prev)*act
+        d = max(d, 1 + max(3, 1 + da + ds), 4)
     return d
 
 
-def _permute_lookup_pair(a_vals, s_vals, usable: int):
-    """halo2 permute_expression_pair: sort A; build S' so each distinct A'
-    value sits against an equal table value, repeats against leftovers."""
-    a_sorted = sorted(v % FR for v in a_vals[:usable])
-    from collections import Counter
-    leftover = Counter(v % FR for v in s_vals[:usable])
-    s_perm = [None] * usable
-    repeats = []
-    for i, v in enumerate(a_sorted):
-        if i == 0 or v != a_sorted[i - 1]:
-            if leftover[v] == 0:
-                raise ValueError(f"lookup input {v} not in table")
-            leftover[v] -= 1
-            s_perm[i] = v
+COSET_SHIFT = 5  # any non-subgroup element; 5 is not a 2^S-th root
+
+
+# --------------------------- fused jit helpers ---------------------------
+
+import functools
+import jax
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_jit():
+    @jax.jit
+    def f(acc, y_m, c):
+        return ops.fold(L._carry_relax(
+            spec, ops.mont_mul(acc, y_m) + c, passes=1))
+    return f
+
+
+_EXPR_JITS: Dict = {}
+
+
+def _expr_refs(e: Expr, out=None):
+    if out is None:
+        out = set()
+    if isinstance(e, ColumnRef):
+        out.add(e.index)
+    elif isinstance(e, Sum):
+        for t in e.terms:
+            _expr_refs(t, out)
+    elif isinstance(e, Prod):
+        for f_ in e.factors:
+            _expr_refs(f_, out)
+    elif isinstance(e, Scaled):
+        _expr_refs(e.inner, out)
+    return out
+
+
+def _fold_expr(acc, expr: Expr, get_col, y_m, rot_unit: int):
+    """acc = acc*y + eval(expr on coset); one fused device call per expr."""
+    key = (expr, rot_unit)
+    if key not in _EXPR_JITS:
+        @jax.jit
+        def f(acc, y_m, cols):
+            c = eval_expr(expr, cols, spec, rot_unit=rot_unit)
+            return ops.fold(L._carry_relax(
+                spec, ops.mont_mul(acc, y_m) + c, passes=1))
+        _EXPR_JITS[key] = f
+    cols = {gi: get_col(gi) for gi in _expr_refs(expr)}
+    return _EXPR_JITS[key](acc, y_m, cols)
+
+
+@functools.lru_cache(maxsize=None)
+def _theta_fold_jit(arity: int):
+    @jax.jit
+    def f(theta_m, cols):  # cols (arity, n, NL)
+        acc = cols[0]
+        for i in range(1, arity):
+            acc = ops.fold(L._carry_relax(
+                spec, ops.mont_mul(acc, theta_m) + cols[i], passes=1))
+        return acc
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_ratio_jit(m: int, usable: int):
+    """num/den rows for one permutation chunk; rows >= usable forced to 1."""
+    @jax.jit
+    def f(cols, sigmas, deltas, beta_m, gamma_m, omega_pows):
+        # cols/sigmas (m, n, NL); deltas (m, NL)
+        n = cols.shape[1]
+        num = None
+        den = None
+        for i in range(m):
+            lbl = ops.mont_mul(omega_pows, deltas[i])
+            tn = ops.fold(L._carry_relax(
+                spec, cols[i] + ops.mont_mul(lbl, beta_m) + gamma_m,
+                passes=1))
+            td = ops.fold(L._carry_relax(
+                spec, cols[i] + ops.mont_mul(sigmas[i], beta_m) + gamma_m,
+                passes=1))
+            num = tn if num is None else ops.mont_mul(num, tn)
+            den = td if den is None else ops.mont_mul(den, td)
+        one = jnp.asarray(spec.one_mont, jnp.int32)
+        idx = jnp.arange(n)[:, None]
+        num = jnp.where(idx < usable, num, one)
+        den = jnp.where(idx < usable, den, one)
+        return num, den
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _lookup_ratio_jit(usable: int):
+    @jax.jit
+    def f(a_c, s_c, a_p, s_p, beta_m, gamma_m):
+        n = a_c.shape[0]
+        num = ops.mont_mul(
+            ops.fold(L._carry_relax(spec, a_c + beta_m, passes=1)),
+            ops.fold(L._carry_relax(spec, s_c + gamma_m, passes=1)))
+        den = ops.mont_mul(
+            ops.fold(L._carry_relax(spec, a_p + beta_m, passes=1)),
+            ops.fold(L._carry_relax(spec, s_p + gamma_m, passes=1)))
+        one = jnp.asarray(spec.one_mont, jnp.int32)
+        idx = jnp.arange(n)[:, None]
+        num = jnp.where(idx < usable, num, one)
+        den = jnp.where(idx < usable, den, one)
+        return num, den
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _ratio_jit():
+    @jax.jit
+    def f(num, den_inv):
+        return ops.mont_mul(num, den_inv)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_rule_jit(m: int, f_ext: int):
+    """Fold the permutation main rule for one chunk into acc."""
+    @jax.jit
+    def f(acc, y_m, z_cos, cols, sigs, xs, deltas, beta_m, gamma_m,
+          lactive):
+        left = jnp.roll(z_cos, -f_ext, axis=0)
+        right = z_cos
+        for i in range(m):
+            left = ops.mont_mul(left, ops.fold(L._carry_relax(
+                spec, cols[i] + ops.mont_mul(sigs[i], beta_m) + gamma_m,
+                passes=1)))
+            lbl = ops.mont_mul(xs, deltas[i])
+            right = ops.mont_mul(right, ops.fold(L._carry_relax(
+                spec, cols[i] + ops.mont_mul(lbl, beta_m) + gamma_m,
+                passes=1)))
+        c = ops.mont_mul(ops.sub(left, right, amplitude=2), lactive)
+        return ops.fold(L._carry_relax(
+            spec, ops.mont_mul(acc, y_m) + c, passes=1))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _lookup_rules_jit(f_ext: int):
+    """Fold the five lookup constraints for one argument into acc."""
+    @jax.jit
+    def f(acc, y_m, z_cos, a_cos, s_cos, ap_cos, sp_cos, l0, llast,
+          lactive, beta_m, gamma_m):
+        z_next = jnp.roll(z_cos, -f_ext, axis=0)
+        ap_prev = jnp.roll(ap_cos, f_ext, axis=0)
+        one = jnp.asarray(spec.one_mont, jnp.int32)
+
+        def fold_in(acc, c):
+            return ops.fold(L._carry_relax(
+                spec, ops.mont_mul(acc, y_m) + c, passes=1))
+
+        # l0 * (1 - z)
+        acc = fold_in(acc, ops.mont_mul(l0, ops.sub(one, z_cos, amplitude=2)))
+        # llast * (z^2 - z)
+        acc = fold_in(acc, ops.mont_mul(
+            llast, ops.sub(ops.mont_mul(z_cos, z_cos), z_cos, amplitude=2)))
+        # lactive * (z_next (a'+b)(s'+g) - z (a+b)(s+g))
+        lhs = ops.mont_mul(z_next, ops.mont_mul(
+            ops.fold(L._carry_relax(spec, ap_cos + beta_m, passes=1)),
+            ops.fold(L._carry_relax(spec, sp_cos + gamma_m, passes=1))))
+        rhs = ops.mont_mul(z_cos, ops.mont_mul(
+            ops.fold(L._carry_relax(spec, a_cos + beta_m, passes=1)),
+            ops.fold(L._carry_relax(spec, s_cos + gamma_m, passes=1))))
+        acc = fold_in(acc, ops.mont_mul(
+            lactive, ops.sub(lhs, rhs, amplitude=2)))
+        # l0 * (a' - s')
+        acc = fold_in(acc, ops.mont_mul(
+            l0, ops.sub(ap_cos, sp_cos, amplitude=2)))
+        # lactive * (a' - s') * (a' - a'_prev)
+        acc = fold_in(acc, ops.mont_mul(
+            lactive, ops.mont_mul(ops.sub(ap_cos, sp_cos, amplitude=2),
+                                  ops.sub(ap_cos, ap_prev, amplitude=2))))
+        return acc
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_div_jit(f_ext: int):
+    @jax.jit
+    def f(acc, zh_inv):  # zh_inv (f_ext, NL)
+        n_ext = acc.shape[0]
+        tiled = jnp.tile(zh_inv, (n_ext // f_ext, 1))
+        return ops.mont_mul(acc, tiled)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _axpy_jit():
+    @jax.jit
+    def f(acc, s_m, x):
+        return ops.fold(L._carry_relax(
+            spec, acc + ops.mont_mul(x, s_m), passes=1))
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_concat_jit(n_head: int):
+    @jax.jit
+    def f(col, idx, tail):
+        return jnp.concatenate([col[idx], tail], axis=0)
+    return f
+
+
+# ----------------------------- coset manager -----------------------------
+
+class _CosetCache:
+    """LRU cache of extended-coset column tensors (bounds HBM at big k)."""
+
+    def __init__(self, coeffs_of, ext_k: int, cap: int = COSET_CACHE_CAP):
+        self.coeffs_of = coeffs_of
+        self.ext_k = ext_k
+        self.cap = cap
+        self.cache: Dict[int, object] = {}
+
+    def __call__(self, gidx: int):
+        if gidx in self.cache:
+            v = self.cache.pop(gidx)
+            self.cache[gidx] = v
+            return v
+        v = V.coset_ntt(self.coeffs_of(gidx), self.ext_k, COSET_SHIFT)
+        if len(self.cache) >= self.cap:
+            self.cache.pop(next(iter(self.cache)))
+        self.cache[gidx] = v
+        return v
+
+
+# ------------------------- lookup pair construction -------------------------
+
+def _col_ref_only(exprs) -> List[int] | None:
+    out = []
+    for e in exprs:
+        if isinstance(e, ColumnRef) and e.rotation == 0:
+            out.append(e.index)
         else:
-            repeats.append(i)
-    rest = list(Counter({k: c for k, c in leftover.items() if c}).elements())
-    assert len(rest) >= len(repeats)
-    for i, pos in enumerate(repeats):
-        s_perm[pos] = rest[i]
-    return a_sorted, s_perm
+            return None
+    return out
 
 
-def _coset_evals(dom: Domain, coeffs: List[int], ext_k: int, shift: int):
-    """Evaluate poly (coeffs, len <= n_ext) on the coset shift * W_ext^i."""
-    ext_dom = Domain(ext_k)
-    n_ext = ext_dom.n
-    c = list(coeffs) + [0] * (n_ext - len(coeffs))
-    s = 1
-    for i in range(len(coeffs)):
-        c[i] = c[i] * s % FR
-        s = s * shift % FR
-    return ext_dom.ntt_host(c)
+def _lookup_indices_np(a_cols, s_cols, usable: int):
+    """Host permuted-pair index construction on small-int numpy columns.
+
+    Returns (order, s_assign): A' = A[order], S' = S[s_assign] over the
+    first `usable` rows, satisfying halo2's permuted-pair invariants
+    (first occurrence rows match the table; repeats take leftovers)."""
+    def key_of(cols):
+        if len(cols) == 1:
+            return cols[0].astype(np.int64)
+        assert len(cols) == 2
+        return (cols[0].astype(np.int64) << 32) | cols[1].astype(np.int64)
+
+    ka = key_of(a_cols)[:usable]
+    ks = key_of(s_cols)[:usable]
+    order = np.argsort(ka, kind="stable")
+    sk = ka[order]
+    st_order = np.argsort(ks, kind="stable")
+    ss = ks[st_order]
+    first = np.ones(usable, bool)
+    first[1:] = sk[1:] != sk[:-1]
+    distinct = sk[first]
+    pos = np.searchsorted(ss, distinct, side="left")
+    if (pos >= usable).any() or (ss[pos] != distinct).any():
+        bad = distinct[(pos >= usable) | (ss[np.minimum(pos, usable - 1)]
+                                          != distinct)]
+        raise ValueError(f"lookup input {bad[:4].tolist()} not in table")
+    used = np.zeros(usable, bool)
+    used[pos] = True
+    leftovers = st_order[~used]
+    s_assign = np.empty(usable, np.int64)
+    s_assign[first] = st_order[pos]
+    s_assign[~first] = leftovers[:np.count_nonzero(~first)]
+    return order.astype(np.int32), s_assign.astype(np.int32)
 
 
-def _coset_interp(ext_dom: Domain, evals: List[int], shift: int) -> List[int]:
-    """Inverse of _coset_evals: coset evals -> coefficients."""
-    coeffs = ext_dom.intt_host(evals)
-    sinv = inv_mod(shift, FR)
-    s = 1
-    for i in range(len(coeffs)):
-        coeffs[i] = coeffs[i] * s % FR
-        s = s * sinv % FR
-    return coeffs
+def _lookup_pair_py(a_vals, s_vals, usable: int):
+    """Python bigint fallback for composite/wide lookup expressions."""
+    a_sorted_idx = sorted(range(usable), key=lambda i: a_vals[i])
+    from collections import Counter, defaultdict
+    pos_by_val = defaultdict(list)
+    for i in range(usable):
+        pos_by_val[s_vals[i]].append(i)
+    used = set()
+    order = np.asarray(a_sorted_idx, np.int32)
+    s_assign = np.empty(usable, np.int64)
+    repeats = []
+    prev = None
+    for r, i in enumerate(a_sorted_idx):
+        v = a_vals[i]
+        if v != prev:
+            lst = pos_by_val.get(v)
+            if not lst:
+                raise ValueError(f"lookup input {v} not in table")
+            s_assign[r] = lst.pop()
+            used.add(s_assign[r])
+            prev = v
+        else:
+            repeats.append(r)
+    leftovers = [i for i in range(usable) if i not in used]
+    for r, i in zip(repeats, leftovers):
+        s_assign[r] = i
+    return order, s_assign.astype(np.int32)
 
+
+# ------------------------------- prover -------------------------------
 
 @dataclass
 class Proof:
@@ -100,81 +382,131 @@ class Proof:
 def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                  advice_evals: List[List[int]],
                  instances: List[List[int]],
-                 seed: bytes = b"spectre-tpu") -> Proof:
+                 seed: bytes | None = None) -> Proof:
+    """seed=None (default) sources blinding from the OS CSPRNG (halo2's
+    OsRng); pass an explicit seed only for deterministic test vectors."""
+    if seed is None:
+        seed = os.urandom(32)
     cs = pk.vk.cs
     dom = pk.vk.domain
     k, n = pk.vk.k, pk.vk.n
     usable = cs.usable_rows(n)
-    blinders = n - usable  # blinding rows + the last usable boundary row
+    n_blind = n - usable - 1
 
     t = Blake2bTranscript()
     for col_vals in instances:
         for v in col_vals:
             t.common_scalar(v)
 
-    # --- instance eval vectors (full length) ---
-    inst_evals = []
-    for col_vals in instances:
-        v = [x % FR for x in col_vals] + [0] * (n - len(col_vals))
-        inst_evals.append(v)
-
-    # --- 1. advice with blinding, commit ---
+    # --- host copies (lookup index construction), padded to n ---
+    host_cols: Dict[int, list] = {}
     advice_evals = [list(c) + [0] * (n - len(c)) for c in advice_evals]
-    for ci, col in enumerate(advice_evals):
-        for r in range(usable, n):
-            col[r] = _det_rand(seed + b"adv", ci * n + r)
-    advice_comms = []
+    rnd_ctr = [0]
+
+    def rand_fr() -> int:
+        rnd_ctr[0] += 1
+        return _det_rand(seed, rnd_ctr[0])
+
     for col in advice_evals:
-        cm = kzg.commit_lagrange_auto(srs, col)
+        for r in range(usable, n):
+            col[r] = rand_fr()
+
+    inst_evals = [[x % FR for x in col] + [0] * (n - len(col))
+                  for col in instances]
+
+    fi = ai = ii = 0
+    adv_gidx: Dict[int, int] = {}
+    for col in cs.columns:
+        if col.kind == "fixed":
+            host_cols[col.index] = pk.fixed_evals[fi]
+            fi += 1
+        elif col.kind == "advice":
+            host_cols[col.index] = advice_evals[ai]
+            adv_gidx[col.index] = ai
+            ai += 1
+        else:
+            host_cols[col.index] = inst_evals[ii]
+            ii += 1
+
+    # --- device columns ---
+    dev_cols: Dict[int, object] = {}
+    for col in cs.columns:
+        if col.kind == "fixed":
+            dev_cols[col.index] = pk.dev_fixed(col.index)
+        else:
+            dev_cols[col.index] = V.upload_ints(host_cols[col.index], n)
+
+    # --- 1. advice commits ---
+    advice_comms = []
+    for col in cs.advice:
+        cm = kzg.commit_lagrange_col(srs, dev_cols[col.index])
         advice_comms.append(cm)
         t.write_point(cm)
 
-    # column value lookup by global index
-    col_evals: Dict[int, List[int]] = {}
-    fi = ai = ii = 0
-    for col in cs.columns:
-        if col.kind == "fixed":
-            col_evals[col.index] = pk.fixed_evals[fi]
-            fi += 1
-        elif col.kind == "advice":
-            col_evals[col.index] = advice_evals[ai]
-            ai += 1
-        else:
-            col_evals[col.index] = inst_evals[ii]
-            ii += 1
-
-    # --- 1b. lookups: compress with theta, commit permuted pairs ---
+    # --- 1b. lookups: theta-compress, permuted pairs, commit ---
     theta = t.squeeze_challenge()
+    theta_m = jnp.asarray(spec.encode(theta))
 
-    def eval_on_rows(expr) -> List[int]:
-        from .protocol import eval_expr_on_vectors
-        return eval_expr_on_vectors(expr, col_evals, 1, n)
+    def compress_dev(exprs, cols_src):
+        arrs = [eval_expr(e, cols_src, spec) if not isinstance(e, ColumnRef)
+                or e.rotation != 0 else cols_src[e.index] for e in exprs]
+        if len(arrs) == 1:
+            return arrs[0]
+        return _theta_fold_jit(len(arrs))(theta_m, jnp.stack(arrs))
 
     lookups_data = []
     for lk in cs.lookups:
-        a_c = [0] * n
-        for e in lk.inputs:
-            ev = eval_on_rows(e)
-            a_c = [(x * theta + v) % FR for x, v in zip(a_c, ev)]
-        s_c = [0] * n
-        for e in lk.tables:
-            ev = eval_on_rows(e)
-            s_c = [(x * theta + v) % FR for x, v in zip(s_c, ev)]
-        a_perm, s_perm = _permute_lookup_pair(a_c, s_c, usable)
-        li = len(lookups_data)
-        a_perm = a_perm + [_det_rand(seed + b"la", li * n + r)
-                           for r in range(usable, n)]
-        s_perm = s_perm + [_det_rand(seed + b"ls", li * n + r)
-                           for r in range(usable, n)]
-        ca = kzg.commit_lagrange_auto(srs, a_perm)
-        cs_ = kzg.commit_lagrange_auto(srs, s_perm)
+        a_dev = compress_dev(lk.inputs, dev_cols)
+        s_dev = compress_dev(lk.tables, dev_cols)
+        a_refs = _col_ref_only(lk.inputs)
+        s_refs = _col_ref_only(lk.tables)
+        small = (a_refs is not None and s_refs is not None
+                 and len(a_refs) <= 2
+                 and all(0 <= v < 1 << 31
+                         for gi in a_refs + s_refs
+                         for v in (host_cols[gi][:usable]
+                                   if not isinstance(host_cols[gi], np.ndarray)
+                                   else [])))
+        if small and a_refs is not None:
+            a_np = [np.asarray(host_cols[gi][:usable], np.int64)
+                    for gi in a_refs]
+            s_np = [np.asarray(host_cols[gi][:usable], np.int64)
+                    for gi in s_refs]
+            if (len(a_refs) == 2
+                    and any(int(c.max(initial=0)) >> 32 for c in a_np + s_np)):
+                small = False
+            else:
+                order, s_assign = _lookup_indices_np(a_np, s_np, usable)
+        if not small:
+            # generic path: host big-int values via theta fold
+            def host_compress(exprs):
+                from .protocol import eval_expr_on_vectors
+                acc = [0] * n
+                for e in exprs:
+                    ev = eval_expr_on_vectors(e, host_cols, 1, n)
+                    acc = [(x * theta + v) % FR for x, v in zip(acc, ev)]
+                return acc
+            order, s_assign = _lookup_pair_py(
+                host_compress(lk.inputs), host_compress(lk.tables), usable)
+
+        tail_a = V.upload_ints([rand_fr() for _ in range(n - usable)],
+                               n - usable)
+        tail_s = V.upload_ints([rand_fr() for _ in range(n - usable)],
+                               n - usable)
+        gc = _gather_concat_jit(usable)
+        ap_dev = gc(a_dev, jnp.asarray(order), tail_a)
+        sp_dev = gc(s_dev, jnp.asarray(s_assign), tail_s)
+        ca = kzg.commit_lagrange_col(srs, ap_dev)
+        cs_ = kzg.commit_lagrange_col(srs, sp_dev)
         t.write_point(ca)
         t.write_point(cs_)
-        lookups_data.append(dict(a_c=a_c, s_c=s_c, a_perm=a_perm,
-                                 s_perm=s_perm, ca=ca, cs=cs_))
+        lookups_data.append(dict(a=a_dev, s=s_dev, ap=ap_dev, sp=sp_dev,
+                                 ca=ca, cs=cs_))
 
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
+    beta_m = jnp.asarray(spec.encode(beta))
+    gamma_m = jnp.asarray(spec.encode(gamma))
 
     # --- 2. permutation grand products (chunked) ---
     d = _cs_degree(cs)
@@ -182,314 +514,262 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     perm_cols = cs.permutation_columns
     chunks = [perm_cols[i:i + chunk_len]
               for i in range(0, len(perm_cols), chunk_len)]
-    omegas = [1] * n
-    for j in range(1, n):
-        omegas[j] = omegas[j - 1] * dom.omega % FR
+    omega_pows = V.powers(dom.omega, n)
 
-    z_evals_all = []
-    last_z = 1  # chunks chain: Z_c(w^0) = Z_{c-1}(w^usable) (halo2 last_z)
+    z_devs = []
+    z_comms = []
+    last_z = 1
     for c_idx, chunk in enumerate(chunks):
         base = c_idx * chunk_len
-        num = [1] * n
-        den = [1] * n
-        for off, col in enumerate(chunk):
-            gi = base + off
-            vals = col_evals[col]
-            sig = pk.sigma_evals[gi]
-            dlt = pow(DELTA, gi, FR)
-            for r in range(n):
-                num[r] = num[r] * ((vals[r] + beta * dlt % FR * omegas[r]
-                                    + gamma) % FR) % FR
-                den[r] = den[r] * ((vals[r] + beta * sig[r] + gamma) % FR) % FR
-        den_inv = batch_inv_mod(den, FR)
-        acc = last_z
-        zv = [0] * n
-        zv[0] = last_z
-        for r in range(usable):
-            acc = acc * num[r] % FR * den_inv[r] % FR
-            if r + 1 < n:
-                zv[r + 1] = acc
-        last_z = acc
-        for r in range(usable + 1, n):
-            zv[r] = _det_rand(seed + b"z", c_idx * n + r)
-        z_evals_all.append(zv)
-
-    z_comms = []
-    for zv in z_evals_all:
-        cm = kzg.commit_lagrange_auto(srs, zv)
+        m = len(chunk)
+        cols = jnp.stack([dev_cols[g] for g in chunk])
+        sigs = jnp.stack([pk.dev_sigma(base + off) for off in range(m)])
+        deltas = jnp.asarray(np.stack([
+            spec.encode(pow(DELTA, base + off, FR)) for off in range(m)]))
+        num, den = _perm_ratio_jit(m, usable)(
+            cols, sigs, deltas, beta_m, gamma_m, omega_pows)
+        ratio = _ratio_jit()(num, V.batch_inv(den))
+        blind = [rand_fr() for _ in range(n_blind)]
+        z_dev, last_z = V.grand_product(ratio, last_z, usable, blind)
+        z_devs.append(z_dev)
+        cm = kzg.commit_lagrange_col(srs, z_dev)
         z_comms.append(cm)
         t.write_point(cm)
 
     # --- 2b. lookup grand products ---
-    for li, ld in enumerate(lookups_data):
-        num = [(ld["a_c"][r] + beta) % FR * ((ld["s_c"][r] + gamma) % FR) % FR
-               for r in range(n)]
-        den = [(ld["a_perm"][r] + beta) % FR
-               * ((ld["s_perm"][r] + gamma) % FR) % FR for r in range(n)]
-        den_inv = batch_inv_mod(den, FR)
-        zv = [0] * n
-        zv[0] = 1
-        acc = 1
-        for r in range(usable):
-            acc = acc * num[r] % FR * den_inv[r] % FR
-            if r + 1 < n:
-                zv[r + 1] = acc
-        for r in range(usable + 1, n):
-            zv[r] = _det_rand(seed + b"lz", li * n + r)
-        cm = kzg.commit_lagrange_auto(srs, zv)
-        t.write_point(cm)
-        ld["z"] = zv
+    for ld in lookups_data:
+        num, den = _lookup_ratio_jit(usable)(
+            ld["a"], ld["s"], ld["ap"], ld["sp"], beta_m, gamma_m)
+        ratio = _ratio_jit()(num, V.batch_inv(den))
+        blind = [rand_fr() for _ in range(n_blind)]
+        z_dev, _ = V.grand_product(ratio, 1, usable, blind)
+        ld["z"] = z_dev
+        cm = kzg.commit_lagrange_col(srs, z_dev)
         ld["cz"] = cm
+        t.write_point(cm)
 
     # --- 3. vanishing random poly ---
-    rand_coeffs = [_det_rand(seed + b"rnd", i) for i in range(n)]
-    rand_comm = kzg.commit_coeff_auto(srs, rand_coeffs)
+    rand_coeffs_host = [rand_fr() for _ in range(n)]
+    rand_coeffs = V.upload_ints(rand_coeffs_host, n)
+    rand_comm = kzg.commit_coeff_col(srs, rand_coeffs)
     t.write_point(rand_comm)
 
     y = t.squeeze_challenge()
+    y_m = jnp.asarray(spec.encode(y))
 
-    # --- 4. quotient on extended coset ---
+    # --- 4. quotient on the extended coset ---
     ext_k = k + max(1, (d - 1).bit_length())
+    n_ext = 1 << ext_k
+    f_ext = n_ext // n
+
+    coeffs_cache: Dict[int, object] = {}
+
+    def coeffs_of(gidx: int):
+        if gidx not in coeffs_cache:
+            coeffs_cache[gidx] = V.intt_dev(dev_cols[gidx], k)
+        return coeffs_cache[gidx]
+
+    coset = _CosetCache(coeffs_of, ext_k)
+
+    def coset_of_vec(vec_dev):
+        return V.coset_ntt(V.intt_dev(vec_dev, k), ext_k, COSET_SHIFT)
+
+    # lagrange indicators on the coset
+    def indicator(rows: List[int]):
+        e = np.zeros(n, np.int32)
+        e[rows] = 1
+        vec = V.upload_ints(e.tolist(), n)
+        return coset_of_vec(vec)
+
+    l0 = indicator([0])
+    llast = indicator([usable])
+    lblind = indicator(list(range(usable + 1, n)))
+
+    @jax.jit
+    def _lactive(llast, lblind):
+        one = jnp.asarray(spec.one_mont, jnp.int32)
+        return ops.fold(ops.sub(ops.sub(one, llast, amplitude=2),
+                                lblind, amplitude=2))
+    lactive = _lactive(llast, lblind)
+
+    # identity X on the coset
     ext_dom = Domain(ext_k)
-    n_ext = ext_dom.n
-    f = n_ext // n  # extension factor = rotation unit
-    shift = 5  # coset shift: any non-subgroup element; 5 is not a 2^S root
+    xs = V.scalar_mul(V.powers(ext_dom.omega, n_ext), COSET_SHIFT)
 
-    coeffs_cache: Dict[int, List[int]] = {}
-    coset_cache: Dict[int, List[int]] = {}
-    for gidx, evals in col_evals.items():
-        coeffs_cache[gidx] = dom.intt_host(evals)
-        coset_cache[gidx] = _coset_evals(dom, coeffs_cache[gidx], ext_k, shift)
+    acc = jnp.zeros((n_ext, NL), jnp.int32)
 
-    # lagrange indicator polys on the coset
-    def indicator_coset(rows: List[int]) -> List[int]:
-        e = [0] * n
-        for r in rows:
-            e[r] = 1
-        return _coset_evals(dom, dom.intt_host(e), ext_k, shift)
-
-    l0 = indicator_coset([0])
-    llast = indicator_coset([usable])
-    lblind = indicator_coset(list(range(usable + 1, n)))
-    lactive = [(1 - a - b) % FR for a, b in zip(llast, lblind)]
-
-    # identity X on the coset: shift * w_ext^i
-    xs = [0] * n_ext
-    cur = shift % FR
-    for i in range(n_ext):
-        xs[i] = cur
-        cur = cur * ext_dom.omega % FR
-
-    constraints: List[List[int]] = []
+    # gate constraints
     for g in cs.gates:
         for p in g.polys:
-            constraints.append(
-                eval_expr_on_vectors(p, coset_cache, f, n_ext))
+            acc = _fold_expr(acc, p, coset, y_m, f_ext)
 
-    # permutation constraints on coset
-    z_coset = []
-    z_coeffs = []
-    for zv in z_evals_all:
-        zc = dom.intt_host(zv)
-        z_coeffs.append(zc)
-        z_coset.append(_coset_evals(dom, zc, ext_k, shift))
-
+    # permutation constraints
+    z_cosets = [coset_of_vec(z) for z in z_devs]
     if chunks:
-        # l_0 * (1 - Z_0)
-        constraints.append([l0[i] * (1 - z_coset[0][i]) % FR
-                            for i in range(n_ext)])
+        one_m = jnp.asarray(spec.one_mont, jnp.int32)
+        # l0 * (1 - Z_0)
+        acc = _fold_jit()(acc, y_m, ops.mont_mul(
+            l0, ops.sub(one_m, z_cosets[0], amplitude=2)))
         # l_last * (Z_last^2 - Z_last)
-        zl = z_coset[-1]
-        constraints.append([llast[i] * (zl[i] * zl[i] - zl[i]) % FR
-                            for i in range(n_ext)])
-        # chunk joins: l_0 * (Z_c - Z_{c-1}(w^u X))
-        ushift = (usable * f) % n_ext
+        zl = z_cosets[-1]
+        acc = _fold_jit()(acc, y_m, ops.mont_mul(
+            llast, ops.sub(ops.mont_mul(zl, zl), zl, amplitude=2)))
+        # chunk joins: l0 * (Z_c - Z_{c-1}(w^u X))
+        ushift = (usable * f_ext) % n_ext
         for c in range(1, len(chunks)):
-            prev = z_coset[c - 1]
-            prev_rot = prev[ushift:] + prev[:ushift]
-            constraints.append([l0[i] * (z_coset[c][i] - prev_rot[i]) % FR
-                                for i in range(n_ext)])
+            prev_rot = jnp.roll(z_cosets[c - 1], -ushift, axis=0)
+            acc = _fold_jit()(acc, y_m, ops.mont_mul(
+                l0, ops.sub(z_cosets[c], prev_rot, amplitude=2)))
         # main rule per chunk
         for c_idx, chunk in enumerate(chunks):
             base = c_idx * chunk_len
-            zc = z_coset[c_idx]
-            zc_next = zc[f:] + zc[:f]
-            left = list(zc_next)
-            right = list(zc)
-            for off, col in enumerate(chunk):
-                gi = base + off
-                vals = coset_cache[col]
-                sig = _coset_evals(dom, pk.sigma_coeffs[gi], ext_k, shift)
-                dlt = pow(DELTA, gi, FR)
-                for i in range(n_ext):
-                    left[i] = left[i] * ((vals[i] + beta * sig[i] + gamma)
-                                         % FR) % FR
-                    right[i] = right[i] * ((vals[i] + beta * dlt % FR * xs[i]
-                                            + gamma) % FR) % FR
-            constraints.append([(left[i] - right[i]) * lactive[i] % FR
-                                for i in range(n_ext)])
+            m = len(chunk)
+            cols = jnp.stack([coset(g) for g in chunk])
+            sigs = jnp.stack([
+                V.coset_ntt(pk.dev_sigma_coeffs(base + off), ext_k,
+                            COSET_SHIFT)
+                for off in range(m)])
+            deltas = jnp.asarray(np.stack([
+                spec.encode(pow(DELTA, base + off, FR))
+                for off in range(m)]))
+            acc = _perm_rule_jit(m, f_ext)(
+                acc, y_m, z_cosets[c_idx], cols, sigs, xs, deltas,
+                beta_m, gamma_m, lactive)
 
-    # lookup constraints on coset
-    from .expression import Const as _Const
+    # lookup constraints
     for lk, ld in zip(cs.lookups, lookups_data):
         def compress_coset(exprs):
-            acc = None
-            for e in exprs:
-                ev = eval_expr_on_vectors(e, coset_cache, f, n_ext)
-                if acc is None:
-                    acc = ev
-                else:
-                    acc = [(a * theta + v) % FR for a, v in zip(acc, ev)]
-            return acc
+            arrs = [eval_expr(e, _CosetDict(coset), spec, rot_unit=f_ext)
+                    if not (isinstance(e, ColumnRef) and e.rotation == 0)
+                    else coset(e.index) for e in exprs]
+            if len(arrs) == 1:
+                return arrs[0]
+            return _theta_fold_jit(len(arrs))(theta_m, jnp.stack(arrs))
 
         a_cos = compress_coset(lk.inputs)
         s_cos = compress_coset(lk.tables)
-        ap_cos = _coset_evals(dom, dom.intt_host(ld["a_perm"]), ext_k, shift)
-        sp_cos = _coset_evals(dom, dom.intt_host(ld["s_perm"]), ext_k, shift)
-        z_cos = _coset_evals(dom, dom.intt_host(ld["z"]), ext_k, shift)
-        z_next = z_cos[f:] + z_cos[:f]
-        ap_prev = ap_cos[-f:] + ap_cos[:-f]
-        constraints.append([l0[i] * (1 - z_cos[i]) % FR for i in range(n_ext)])
-        constraints.append([llast[i] * (z_cos[i] * z_cos[i] - z_cos[i]) % FR
-                            for i in range(n_ext)])
-        constraints.append([
-            lactive[i] * (
-                z_next[i] * ((ap_cos[i] + beta) % FR) % FR
-                * ((sp_cos[i] + gamma) % FR)
-                - z_cos[i] * ((a_cos[i] + beta) % FR) % FR
-                * ((s_cos[i] + gamma) % FR)
-            ) % FR for i in range(n_ext)])
-        constraints.append([l0[i] * (ap_cos[i] - sp_cos[i]) % FR
-                            for i in range(n_ext)])
-        constraints.append([
-            lactive[i] * ((ap_cos[i] - sp_cos[i]) % FR)
-            * ((ap_cos[i] - ap_prev[i]) % FR) % FR for i in range(n_ext)])
-        ld["ap_coeffs"] = dom.intt_host(ld["a_perm"])
-        ld["sp_coeffs"] = dom.intt_host(ld["s_perm"])
-        ld["z_coeffs"] = dom.intt_host(ld["z"])
+        ap_cos = coset_of_vec(ld["ap"])
+        sp_cos = coset_of_vec(ld["sp"])
+        z_cos = coset_of_vec(ld["z"])
+        ld["ap_coeffs"] = V.intt_dev(ld["ap"], k)
+        ld["sp_coeffs"] = V.intt_dev(ld["sp"], k)
+        ld["z_coeffs"] = V.intt_dev(ld["z"], k)
+        acc = _lookup_rules_jit(f_ext)(
+            acc, y_m, z_cos, a_cos, s_cos, ap_cos, sp_cos, l0, llast,
+            lactive, beta_m, gamma_m)
 
-    # fold with y and divide by Z_H
-    acc = [0] * n_ext
-    for cvec in constraints:
-        acc = [(a * y + c) % FR for a, c in zip(acc, cvec)]
-    # Z_H(shift*w^i) = shift^n * w^{ni} - 1, period f in i
-    sn = pow(shift, n, FR)
+    # divide by Z_H on the coset (periodic values)
+    sn = pow(COSET_SHIFT, n, FR)
     wn = pow(ext_dom.omega, n, FR)
     zh = []
     curw = 1
-    for i in range(f):
+    for _ in range(f_ext):
         zh.append((sn * curw - 1) % FR)
         curw = curw * wn % FR
-    zh_inv = batch_inv_mod(zh, FR)
-    h_evals = [acc[i] * zh_inv[i % f] % FR for i in range(n_ext)]
-    h_coeffs = _coset_interp(ext_dom, h_evals, shift)
-    # split into f pieces of degree < n
-    h_pieces = [h_coeffs[i * n:(i + 1) * n] for i in range(f)]
+    zh_inv_host = batch_inv_mod(zh, FR)
+    zh_inv = V.upload_ints(zh_inv_host, f_ext)
+    h_evals = _zh_div_jit(f_ext)(acc, zh_inv)
+    h_coeffs = V.coset_intt(h_evals, ext_k, COSET_SHIFT)
+
     h_comms = []
-    for piece in h_pieces:
-        cm = kzg.commit_coeff_auto(srs, piece)
+    h_pieces = []
+    for i in range(f_ext):
+        piece = h_coeffs[i * n:(i + 1) * n]
+        h_pieces.append(piece)
+        cm = kzg.commit_coeff_col(srs, piece)
         h_comms.append(cm)
         t.write_point(cm)
 
     x = t.squeeze_challenge()
-
-    # --- 5. evaluations ---
-    queries = column_queries(cs)
-
-    def eval_at(coeffs: List[int], z: int) -> int:
-        acc = 0
-        for c in reversed(coeffs):
-            acc = (acc * z + c) % FR
-        return acc
-
     x_next = x * dom.omega % FR
     x_last = x * pow(dom.omega, usable, FR) % FR
+    x_prev = x * pow(dom.omega, n - 1, FR) % FR
 
-    # committed-column evals (advice + fixed); instance evals are recomputed
-    # by the verifier
-    eval_claims: List[Tuple[List[int], int, int, object]] = []  # (coeffs, point, value, comm)
-
+    # --- 5. evaluations (batched per point) ---
+    queries = column_queries(cs)
     kind_of = {col.index: col.kind for col in cs.columns}
     adv_idx = {col.index: i for i, col in enumerate(cs.advice)}
     fix_idx = {col.index: i for i, col in enumerate(cs.fixed)}
 
+    # ordered list of (coeffs_dev, point, commitment_tag)
+    sched: List[Tuple[object, int, object]] = []
     for (gcol, rot) in queries:
         if kind_of[gcol] == "instance":
             continue
         z = x * pow(dom.omega, rot % n, FR) % FR
-        coeffs = coeffs_cache[gcol]
-        v = eval_at(coeffs, z)
-        t.write_scalar(v)
         comm = (advice_comms[adv_idx[gcol]] if kind_of[gcol] == "advice"
                 else pk.vk.fixed_commitments[fix_idx[gcol]])
-        eval_claims.append((coeffs, z, v, comm))
-
-    # random poly at x
-    rv = eval_at(rand_coeffs, x)
-    t.write_scalar(rv)
-    eval_claims.append((rand_coeffs, x, rv, rand_comm))
-
-    # sigmas at x
+        sched.append((coeffs_of(gcol), z, comm))
+    sched.append((rand_coeffs, x, rand_comm))
     for gi in range(len(perm_cols)):
-        v = eval_at(pk.sigma_coeffs[gi], x)
-        t.write_scalar(v)
-        eval_claims.append((pk.sigma_coeffs[gi], x, v, pk.vk.sigma_commitments[gi]))
-
-    # Z chunks at x, x_next; previous chunk at x_last
+        sched.append((pk.dev_sigma_coeffs(gi), x,
+                      pk.vk.sigma_commitments[gi]))
+    z_coeffs = [V.intt_dev(zd, k) for zd in z_devs]
     for c_idx in range(len(chunks)):
-        zc = z_coeffs[c_idx]
-        for z_pt in (x, x_next):
-            v = eval_at(zc, z_pt)
-            t.write_scalar(v)
-            eval_claims.append((zc, z_pt, v, z_comms[c_idx]))
+        sched.append((z_coeffs[c_idx], x, z_comms[c_idx]))
+        sched.append((z_coeffs[c_idx], x_next, z_comms[c_idx]))
     for c_idx in range(1, len(chunks)):
-        zc = z_coeffs[c_idx - 1]
-        v = eval_at(zc, x_last)
-        t.write_scalar(v)
-        eval_claims.append((zc, x_last, v, z_comms[c_idx - 1]))
-
-    # lookup evals: Z(x), Z(wx), A'(x), A'(w^-1 x), S'(x)
-    x_prev = x * pow(dom.omega, n - 1, FR) % FR
+        sched.append((z_coeffs[c_idx - 1], x_last, z_comms[c_idx - 1]))
     for ld in lookups_data:
-        for coeffs, z_pt, comm in (
-                (ld["z_coeffs"], x, ld["cz"]),
-                (ld["z_coeffs"], x_next, ld["cz"]),
-                (ld["ap_coeffs"], x, ld["ca"]),
-                (ld["ap_coeffs"], x_prev, ld["ca"]),
-                (ld["sp_coeffs"], x, ld["cs"])):
-            v = eval_at(coeffs, z_pt)
-            t.write_scalar(v)
-            eval_claims.append((coeffs, z_pt, v, comm))
+        sched.append((ld["z_coeffs"], x, ld["cz"]))
+        sched.append((ld["z_coeffs"], x_next, ld["cz"]))
+        sched.append((ld["ap_coeffs"], x, ld["ca"]))
+        sched.append((ld["ap_coeffs"], x_prev, ld["ca"]))
+        sched.append((ld["sp_coeffs"], x, ld["cs"]))
 
-    # h collapsed: single poly sum x^{n i} h_i — open at x
-    h_collapsed = [0] * n
+    # batch evals per point (chunked stacking bounds memory)
+    by_point: Dict[int, List[int]] = {}
+    for i, (_, z, _c) in enumerate(sched):
+        by_point.setdefault(z, []).append(i)
+    values = [0] * len(sched)
+    for z, idxs in by_point.items():
+        CH = 8
+        for off in range(0, len(idxs), CH):
+            grp = idxs[off:off + CH]
+            vals = V.eval_polys_at([sched[i][0] for i in grp], z)
+            for i, v in zip(grp, vals):
+                values[i] = v
+    for v in values:
+        t.write_scalar(v)
+
+    eval_claims = [(cf, z, values[i], cm)
+                   for i, (cf, z, cm) in enumerate(sched)]
+
+    # h collapsed: sum x^{n i} h_i, opened at x (eval not written)
     xn = pow(x, n, FR)
-    mult = 1
-    for piece in h_pieces:
-        for j, c in enumerate(piece):
-            h_collapsed[j] = (h_collapsed[j] + mult * c) % FR
+    h_collapsed = h_pieces[0]
+    mult = xn
+    for piece in h_pieces[1:]:
+        h_collapsed = _axpy_jit()(
+            h_collapsed, jnp.asarray(spec.encode(mult)), piece)
         mult = mult * xn % FR
-    hv = eval_at(h_collapsed, x)
-    # h eval is NOT written (verifier derives the expected value)
-    h_comm_collapsed = None  # verifier folds commitments itself
+    hv = V.eval_poly_at(h_collapsed, x)
     eval_claims.append((h_collapsed, x, hv, "H"))
 
     # --- 6. GWC multiopen: fold per point with v, one witness per point ---
     v_ch = t.squeeze_challenge()
-    by_point: Dict[int, List[Tuple[List[int], int]]] = {}
-    for coeffs, z, val, _ in eval_claims:
-        by_point.setdefault(z, []).append((coeffs, val))
-    for z in sorted(by_point):
-        group = by_point[z]
-        F = [0] * max(len(c) for c, _ in group)
-        rv_f = 0
-        mult = 1
-        for coeffs, val in group:
-            for j, c in enumerate(coeffs):
-                F[j] = (F[j] + mult * c) % FR
-            rv_f = (rv_f + mult * val) % FR
+    groups: Dict[int, List[Tuple[object, int]]] = {}
+    for cf, z, val, _cm in eval_claims:
+        groups.setdefault(z, []).append((cf, val))
+    for z in sorted(groups):
+        grp = groups[z]
+        F = grp[0][0]
+        mult = v_ch
+        for cf, _val in grp[1:]:
+            F = _axpy_jit()(F, jnp.asarray(spec.encode(mult)), cf)
             mult = mult * v_ch % FR
-        _, W = kzg.open_at_host(srs, F, z)
+        q = V.kzg_quotient(F, z)
+        W = kzg.commit_coeff_col(srs, q)
         t.write_point(W)
 
     return Proof(t.proof())
+
+
+class _CosetDict:
+    """Adapter: expression evaluator column lookup -> coset cache."""
+
+    def __init__(self, coset):
+        self._coset = coset
+
+    def __getitem__(self, gidx):
+        return self._coset(gidx)

@@ -24,6 +24,13 @@ PREFIX_POINT = b"\x01"
 PREFIX_SCALAR = b"\x02"
 
 
+class ProofError(Exception):
+    """Malformed proof encoding (non-canonical scalar, invalid point,
+    truncated buffer). Raised during deserialization; verify_proof catches
+    it and returns False. Explicit raise (not assert) so the checks survive
+    python -O."""
+
+
 def g1_to_bytes(pt) -> bytes:
     """halo2curves bn256::G1Affine::to_bytes (32-byte compressed LE)."""
     if pt is None:
@@ -44,9 +51,11 @@ def g1_from_bytes(b: bytes):
     sign = (arr[31] & 0x80) != 0
     arr[31] &= 0x7F
     x = int.from_bytes(bytes(arr), "little")
-    assert x < FQ
+    if x >= FQ:
+        raise ProofError("point x-coordinate not canonical")
     y = sqrt_mod((x * x % FQ * x + 3) % FQ, FQ)
-    assert y is not None, "invalid point encoding"
+    if y is None:
+        raise ProofError("x not on curve")
     if (y & 1) != sign:
         y = FQ - y
     return (x, y)
@@ -83,6 +92,8 @@ class Blake2bTranscript:
     # ---- verifier side (read from proof + absorb) ----
     def read_point(self):
         b = bytes(self.read_view[self.read_off:self.read_off + 32])
+        if len(b) < 32:
+            raise ProofError("truncated proof (point)")
         self.read_off += 32
         pt = g1_from_bytes(b)
         self.common_point(pt)
@@ -90,9 +101,12 @@ class Blake2bTranscript:
 
     def read_scalar(self) -> int:
         b = bytes(self.read_view[self.read_off:self.read_off + 32])
+        if len(b) < 32:
+            raise ProofError("truncated proof (scalar)")
         self.read_off += 32
         v = int.from_bytes(b, "little")
-        assert v < FR
+        if v >= FR:
+            raise ProofError("scalar not canonical")
         self.common_scalar(v)
         return v
 

@@ -1,5 +1,6 @@
-"""PLONK verifier (native host; KZG openings checked via test-SRS trapdoor
-until the BN254 pairing lands — see poly/kzg.py.verify_open_trapdoor)."""
+"""PLONK verifier (native host). KZG openings are checked with ONE batched
+BN254 pairing product (kzg.verify_open_batch) — sound for any SRS; the
+trapdoor fast path must be requested explicitly and only works on test SRS."""
 from __future__ import annotations
 
 from typing import Dict, List, Tuple
@@ -10,14 +11,24 @@ from ..curves import host as H
 from ..poly import kzg
 from .cs import ConstraintSystem
 from .keygen import VerifyingKey, DELTA
-from .transcript import Blake2bTranscript
+from .transcript import Blake2bTranscript, ProofError
 from .protocol import (column_queries, eval_expr_at, lagrange_evals_at,
                        instance_poly_eval)
 from .prover import _cs_degree, Proof
 
 
 def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
-                 instances: List[List[int]]) -> bool:
+                 instances: List[List[int]], trapdoor: bool = False) -> bool:
+    """Verify a proof. trapdoor=True uses the pairing-free test-SRS check
+    (requires srs.tau; test-only speed path)."""
+    try:
+        return _verify_proof(vk, srs, proof, instances, trapdoor)
+    except ProofError:
+        return False
+
+
+def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
+                  instances: List[List[int]], trapdoor: bool) -> bool:
     cs = vk.cs
     dom = vk.domain
     n = vk.n
@@ -178,11 +189,12 @@ def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
         mult = mult * xn % FR
     claims.append((h_comm, x, expected_h))
 
-    # ---- GWC multiopen check (trapdoor KZG) ----
+    # ---- GWC multiopen check (one batched pairing product) ----
     v_ch = t.squeeze_challenge()
     by_point: Dict[int, List[Tuple[object, int]]] = {}
     for comm, z, val in claims:
         by_point.setdefault(z, []).append((comm, val))
+    open_claims = []
     for z in sorted(by_point):
         group = by_point[z]
         F = None
@@ -193,6 +205,8 @@ def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
             rv = (rv + mult * val) % FR
             mult = mult * v_ch % FR
         W = t.read_point()
-        if not kzg.verify_open_trapdoor(srs, F, z, rv, W):
-            return False
-    return True
+        open_claims.append((F, z, rv, W))
+    if trapdoor:
+        return all(kzg.verify_open_trapdoor(srs, F, z, rv, W)
+                   for (F, z, rv, W) in open_claims)
+    return kzg.verify_open_batch(srs, open_claims)

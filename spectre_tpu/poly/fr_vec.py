@@ -1,0 +1,369 @@
+"""Device vector engine over BN254 Fr — the prover's polynomial substrate.
+
+Everything the PLONK prover does to whole polynomials (NTT/coset moves,
+prefix/suffix products, batched inversion, grand products, Horner suffix
+division for KZG openings, point evaluation) runs here as jitted whole-column
+passes over (n, n_limbs) int32 Montgomery limb tensors. The round-1 prover
+did all of this with host python ints (VERDICT "what's missing" #4); this
+module replaces it with device code whose only host roundtrips are single
+scalars (total-product inversions, claimed evaluation values).
+
+Layout: (n, 24) int32, limbs last (fields.limb convention). The pallas NTT
+(ntt_fast) uses the transposed layout internally; wrappers transpose at that
+boundary only. Sequential-looking recurrences (prefix products, Horner
+division) are log-depth doubling passes — k elementwise passes for 2^k rows,
+no data-dependent control flow (XLA-friendly per SURVEY §7 design stance).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import limb as L
+from ..fields.params import BN254_FR as FR
+from ..fields.host import inv_mod
+from .domain import Domain
+from .ntt import ntt as _xla_ntt, intt as _xla_intt
+
+spec = L.fr_spec
+ops = L.make_ops(spec)
+NL = spec.n_limbs
+
+
+# --------------------------- upload / download ---------------------------
+
+@functools.lru_cache(maxsize=None)
+def _up_small_jit(n: int):
+    r2 = spec.encode_plain(spec.R2)
+
+    @jax.jit
+    def f(v):           # (n,) int32 values < 2^31 -> (n, NL) mont
+        limbs = [(v >> (11 * i)) & 2047 for i in range(3)]
+        plain = jnp.stack(limbs + [jnp.zeros_like(v)] * (NL - 3), axis=-1)
+        return ops.mont_mul(plain, jnp.asarray(r2))
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _up_bytes_jit(n: int):
+    r2 = spec.encode_plain(spec.R2)
+
+    @jax.jit
+    def f(b):           # (n, 34) uint8 LE bytes -> (n, NL) mont
+        b = b.astype(jnp.int32)
+        limbs = []
+        for i in range(NL):
+            off = 11 * i
+            j, r = off // 8, off % 8
+            w = b[:, j] | (b[:, j + 1] << 8) | (b[:, j + 2] << 16)
+            limbs.append((w >> r) & 2047)
+        plain = jnp.stack(limbs, axis=-1)
+        return ops.mont_mul(plain, jnp.asarray(r2))
+
+    return f
+
+
+def upload_ints(values: List[int], n: int | None = None):
+    """Canonical ints -> device (n, NL) Montgomery limbs (zero padded)."""
+    m = len(values)
+    n = n if n is not None else m
+    assert m <= n
+    big = any(v >> 31 for v in values)
+    if not big:
+        arr = np.zeros(n, np.int32)
+        if m:
+            arr[:m] = np.asarray(values, dtype=np.int64).astype(np.int32)
+        return _up_small_jit(n)(jnp.asarray(arr))
+    buf = b"".join(int(v).to_bytes(34, "little") for v in values)
+    arr = np.zeros((n, 34), np.uint8)
+    if m:
+        arr[:m] = np.frombuffer(buf, dtype=np.uint8).reshape(m, 34)
+    return _up_bytes_jit(n)(jnp.asarray(arr))
+
+
+def download_ints(a) -> List[int]:
+    """Device Montgomery limbs -> canonical python ints."""
+    plain = np.asarray(ops.from_mont(a))
+    return spec.decode_plain_batch(plain)
+
+
+def download_int(a) -> int:
+    return download_ints(a.reshape(1, NL))[0]
+
+
+# ----------------------------- graph pieces -----------------------------
+
+def _ones_rows(sh: int):
+    one = jnp.asarray(spec.one_mont, jnp.int32)
+    return jnp.broadcast_to(one, (sh, NL))
+
+
+def _powers_graph(x_mont, n: int):
+    """p_i = x^i, i < n (Montgomery), via log-doubling prefix products."""
+    one = jnp.asarray(spec.one_mont, jnp.int32)
+    v = jnp.broadcast_to(x_mont, (n, NL))
+    idx = jnp.arange(n)[:, None]
+    p = jnp.where(idx == 0, one, v)
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate([_ones_rows(s), p[:-s]], axis=0)
+        p = ops.mont_mul(p, shifted)
+        s <<= 1
+    return p
+
+
+def _prefix_graph(v):
+    """Inclusive prefix product along axis 0."""
+    n = v.shape[0]
+    p = v
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate([_ones_rows(s), p[:-s]], axis=0)
+        p = ops.mont_mul(p, shifted)
+        s <<= 1
+    return p
+
+
+def _suffix_graph(v):
+    """Inclusive suffix product along axis 0."""
+    n = v.shape[0]
+    p = v
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate([p[s:], _ones_rows(s)], axis=0)
+        p = ops.mont_mul(p, shifted)
+        s <<= 1
+    return p
+
+
+def _sum_graph(a):
+    """Exact sum of (m, NL) Montgomery rows -> (NL,), amplitude < 2."""
+    while a.shape[0] > 1:
+        m = a.shape[0]
+        c = min(256, m)
+        if m % c:
+            pad = c - m % c
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad, NL), jnp.int32)], axis=0)
+            m += pad
+        a = a.reshape(m // c, c, NL).sum(axis=1, dtype=jnp.int32)
+        a = L._carry_relax(spec, a, passes=2)
+        a = ops.fold(a)
+    return a[0]
+
+
+# ----------------------------- jitted entries -----------------------------
+
+@functools.lru_cache(maxsize=None)
+def _powers_jit(n: int):
+    @jax.jit
+    def f(x_mont):
+        return _powers_graph(x_mont, n)
+    return f
+
+
+def powers(x: int, n: int):
+    """Device vector [1, x, x^2, ..., x^{n-1}] (Montgomery)."""
+    return _powers_jit(n)(jnp.asarray(spec.encode(x)))
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_jit():
+    @jax.jit
+    def f(a, b):
+        return ops.mont_mul(a, b)
+    return f
+
+
+def mul(a, b):
+    return _mul_jit()(a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _scalar_mul_jit():
+    @jax.jit
+    def f(a, s_mont):
+        return ops.mont_mul(a, s_mont)
+    return f
+
+
+def scalar_mul(a, s: int):
+    return _scalar_mul_jit()(a, jnp.asarray(spec.encode(s)))
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_many_jit(n: int, m: int):
+    @jax.jit
+    def f(stacked, x_mont):  # stacked (m, n, NL)
+        pw = _powers_graph(x_mont, n)
+        outs = []
+        for i in range(m):
+            t = ops.mont_mul(stacked[i], pw)
+            outs.append(ops.canon(_sum_graph(t), 2))
+        return jnp.stack(outs)
+    return f
+
+
+def eval_polys_at(coeff_list, x: int) -> List[int]:
+    """Evaluate several device coefficient vectors at the same point.
+
+    One device call; returns canonical ints.
+    """
+    if not coeff_list:
+        return []
+    n = coeff_list[0].shape[0]
+    stacked = jnp.stack(coeff_list)
+    out = _eval_many_jit(n, len(coeff_list))(
+        stacked, jnp.asarray(spec.encode(x)))
+    return [spec.from_mont_int(v) % FR
+            for v in spec.decode_plain_batch(np.asarray(out))]
+
+
+def eval_poly_at(coeffs, x: int) -> int:
+    return eval_polys_at([coeffs], x)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _binv_jit(n: int):
+    @jax.jit
+    def pre(v):
+        return _prefix_graph(v)
+
+    @jax.jit
+    def combine(v, pre_p, tinv_mont):
+        suf = _suffix_graph(v)
+        p_ex = jnp.concatenate([_ones_rows(1), pre_p[:-1]], axis=0)
+        s_ex = jnp.concatenate([suf[1:], _ones_rows(1)], axis=0)
+        r = ops.mont_mul(p_ex, s_ex)
+        return ops.mont_mul(r, tinv_mont)
+
+    return pre, combine
+
+
+def batch_inv(v):
+    """Elementwise inverse of a nonzero device vector (one host inversion)."""
+    n = v.shape[0]
+    pre, combine = _binv_jit(n)
+    P = pre(v)
+    total = download_int(P[-1])
+    tinv = inv_mod(total, FR)
+    return combine(v, P, jnp.asarray(spec.encode(tinv)))
+
+
+@functools.lru_cache(maxsize=None)
+def _grand_product_jit(n: int, usable: int):
+    @jax.jit
+    def f(ratio, start_mont, blind_tail):
+        # rows >= usable contribute 1 to the prefix
+        idx = jnp.arange(n)[:, None]
+        one = jnp.asarray(spec.one_mont, jnp.int32)
+        r = jnp.where(idx < usable, ratio, one)
+        pp = _prefix_graph(r)
+        pp_ex = jnp.concatenate([_ones_rows(1), pp[:-1]], axis=0)
+        z = ops.mont_mul(pp_ex, jnp.broadcast_to(start_mont, (n, NL)))
+        z = jnp.where(idx <= usable, z, blind_tail)
+        last = ops.mont_mul(pp[usable - 1], start_mont)
+        return z, ops.canon(last, 2)
+    return f
+
+
+def grand_product(ratio, start: int, usable: int, blind: List[int]):
+    """Z with Z_0 = start, Z_{r+1} = Z_r * ratio_r for r < usable; rows
+    usable+1.. take the supplied blinding values. Returns (Z, Z_usable)."""
+    n = ratio.shape[0]
+    tail = upload_ints([0] * (usable + 1) + list(blind), n)
+    z, last = _grand_product_jit(n, usable)(
+        ratio, jnp.asarray(spec.encode(start)), tail)
+    return z, download_int(last)
+
+
+@functools.lru_cache(maxsize=None)
+def _quotient_jit(n: int):
+    k = max(1, (n - 1).bit_length())
+
+    @jax.jit
+    def f(coeffs, zpows):  # zpows (k, NL): z^(2^s)
+        q = jnp.concatenate(
+            [coeffs[1:], jnp.zeros((1, NL), jnp.int32)], axis=0)
+        for s in range(k):
+            sh = 1 << s
+            if sh >= n:
+                break
+            shifted = jnp.concatenate(
+                [q[sh:], jnp.zeros((sh, NL), jnp.int32)], axis=0)
+            q = L._carry_relax(
+                spec, q + ops.mont_mul(shifted, zpows[s]), passes=1)
+            q = ops.fold(q)
+        return q
+    return f
+
+
+def kzg_quotient(coeffs, z: int):
+    """(f(X) - f(z)) / (X - z) coefficient vector on device."""
+    n = coeffs.shape[0]
+    k = max(1, (n - 1).bit_length())
+    zp = []
+    cur = z % FR
+    for _ in range(k):
+        zp.append(cur)
+        cur = cur * cur % FR
+    zpows = jnp.asarray(np.stack([spec.encode(v) for v in zp]))
+    return _quotient_jit(n)(coeffs, zpows)
+
+
+# ----------------------------- NTT / cosets -----------------------------
+
+def _use_pallas() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def ntt_dev(a, k: int):
+    """Forward NTT of (2^k, NL) Montgomery limbs (canonical output)."""
+    if _use_pallas():
+        from . import ntt_fast
+        return ntt_fast.ntt_t(jnp.asarray(a).T, k).T
+    return _xla_ntt(a, k)
+
+
+def intt_dev(a, k: int):
+    if _use_pallas():
+        from . import ntt_fast
+        return ntt_fast.intt_t(jnp.asarray(a).T, k).T
+    return _xla_intt(a, k)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_pows(n: int, shift: int):
+    """Device powers of a coset shift (held resident per domain)."""
+    return jax.device_put(powers(shift, n))
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_mul_jit(n: int, n_ext: int):
+    @jax.jit
+    def f(coeffs, sp):
+        c = ops.mont_mul(coeffs, sp)
+        return jnp.concatenate(
+            [c, jnp.zeros((n_ext - n, NL), jnp.int32)], axis=0)
+    return f
+
+
+def coset_ntt(coeffs, ext_k: int, shift: int):
+    """Evaluate a degree-<n polynomial on the coset shift * W_ext^i."""
+    n = coeffs.shape[0]
+    n_ext = 1 << ext_k
+    sp = _shift_pows(n, shift)
+    padded = _pad_mul_jit(n, n_ext)(coeffs, sp)
+    return ntt_dev(padded, ext_k)
+
+
+def coset_intt(evals, ext_k: int, shift: int):
+    """Coset evals -> coefficient vector (length n_ext)."""
+    c = intt_dev(evals, ext_k)
+    sp = _shift_pows(1 << ext_k, inv_mod(shift, FR))
+    return _mul_jit()(c, sp)

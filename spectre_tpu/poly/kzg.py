@@ -117,31 +117,70 @@ def commit_lagrange_host(srs: SrsKZG, evals: list):
 DEVICE_MSM_MIN = 2048
 
 
+def _lag_enc_dev(srs: SrsKZG):
+    import jax.numpy as jnp
+    if not hasattr(srs, "_lag_enc"):
+        X, Y, Z = srs.g1_lagrange_enc
+        srs._lag_enc = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+    return srs._lag_enc
+
+
+def _coeff_enc_dev(srs: SrsKZG):
+    import jax.numpy as jnp
+    if not hasattr(srs, "_coeff_enc"):
+        X, Y, Z = srs.g1_coeff_enc
+        srs._coeff_enc = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
+    return srs._coeff_enc
+
+
 def commit_lagrange_auto(srs: SrsKZG, evals: list):
     """Commit via device Pippenger for large columns, host MSM otherwise."""
     n = len(evals)
     if n < DEVICE_MSM_MIN:
         return commit_lagrange_host(srs, evals)
-    from .msm_pippenger import msm_pippenger
-    import jax.numpy as jnp
-    if not hasattr(srs, "_lag_enc"):
-        X, Y, Z = srs.g1_lagrange_enc
-        srs._lag_enc = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
-    enc = tuple(c[:n] for c in srs._lag_enc)
-    return msm_pippenger(None, evals, "bn254_g1", points_enc=enc)
+    from .msm_pippenger import commit_dev
+    enc = tuple(c[:n] for c in _lag_enc_dev(srs))
+    scalars = L.fr_spec.encode_plain_batch(evals)
+    return commit_dev(enc, scalars)
 
 
 def commit_coeff_auto(srs: SrsKZG, coeffs: list):
     n = len(coeffs)
     if n < DEVICE_MSM_MIN:
         return commit_coeff_host(srs, coeffs)
-    from .msm_pippenger import msm_pippenger
-    import jax.numpy as jnp
-    if not hasattr(srs, "_coeff_enc"):
-        X, Y, Z = srs.g1_coeff_enc
-        srs._coeff_enc = (jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z))
-    enc = tuple(c[:n] for c in srs._coeff_enc)
-    return msm_pippenger(None, coeffs, "bn254_g1", points_enc=enc)
+    from .msm_pippenger import commit_dev
+    enc = tuple(c[:n] for c in _coeff_enc_dev(srs))
+    scalars = L.fr_spec.encode_plain_batch(coeffs)
+    return commit_dev(enc, scalars)
+
+
+def commit_lagrange_col(srs: SrsKZG, col_mont):
+    """Commit a device-resident Montgomery eval column (one device call +
+    host fallback below the device threshold)."""
+    from ..fields import limb as LL
+    n = col_mont.shape[0]
+    ops = LL.make_ops(LL.fr_spec)
+    if n < DEVICE_MSM_MIN:
+        import numpy as np
+        vals = LL.fr_spec.decode_plain_batch(np.asarray(ops.from_mont(col_mont)))
+        return commit_lagrange_host(srs, vals)
+    from .msm_pippenger import commit_dev
+    enc = tuple(c[:n] for c in _lag_enc_dev(srs))
+    return commit_dev(enc, ops.from_mont(col_mont))
+
+
+def commit_coeff_col(srs: SrsKZG, coeffs_mont):
+    from ..fields import limb as LL
+    n = coeffs_mont.shape[0]
+    ops = LL.make_ops(LL.fr_spec)
+    if n < DEVICE_MSM_MIN:
+        import numpy as np
+        vals = LL.fr_spec.decode_plain_batch(
+            np.asarray(ops.from_mont(coeffs_mont)))
+        return commit_coeff_host(srs, vals)
+    from .msm_pippenger import commit_dev
+    enc = tuple(c[:n] for c in _coeff_enc_dev(srs))
+    return commit_dev(enc, ops.from_mont(coeffs_mont))
 
 
 def commit_coeff_host(srs: SrsKZG, coeffs: list):
@@ -177,6 +216,37 @@ def verify_open_trapdoor(srs: SrsKZG, commitment, z: int, value: int, W):
     lhs = curve.add(commitment, curve.neg(curve.mul(curve.gen, value)))
     rhs = curve.mul(W, (srs.tau - z) % FR) if W is not None else None
     return lhs == rhs
+
+
+def verify_open_batch(srs: SrsKZG, claims) -> bool:
+    """Batched pairing KZG check over many opening claims with ONE pairing
+    product (halo2's MSM-batched final check shape).
+
+    claims: iterable of (commitment, z, value, W). Each claim asserts
+    e(C - [v]G + [z]W, G2) == e(W, [tau]G2); folding with local verifier
+    randomness u_i:
+      e(Σ u_i (C_i - [v_i]G + [z_i]W_i), G2) · e(-Σ u_i W_i, [tau]G2) == 1.
+    """
+    import secrets
+    from ..curves.pairing import bn254
+    curve = H.bn254_g1
+    claims = list(claims)
+    if not claims:
+        return True
+    lhs = None      # Σ u_i (C_i - v_i G + z_i W_i)
+    wsum = None     # Σ u_i W_i
+    for (comm, z, value, W) in claims:
+        u = secrets.randbelow(FR - 1) + 1
+        term = curve.add(comm, curve.neg(curve.mul(curve.gen, value % FR)))
+        if W is not None:
+            term = curve.add(term, curve.mul(W, z % FR))
+        lhs = curve.add(lhs, curve.mul(term, u))
+        if W is not None:
+            wsum = curve.add(wsum, curve.mul(W, u))
+    if wsum is None:
+        return lhs is None
+    eng = bn254()
+    return eng.pairing_check([(curve.neg(wsum), srs.s_g2), (lhs, srs.g2)])
 
 
 def verify_open_pairing(srs: SrsKZG, commitment, z: int, value: int, W) -> bool:

@@ -1,15 +1,31 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere.
+Env vars must be set before jax initializes a backend — AND the axon
+sitecustomize force-registers the tunnel TPU and sets
+jax_platforms="axon,cpu" programmatically, which overrides JAX_PLATFORMS
+from the environment. Override it back via jax.config so the suite runs on
+the CPU mesh (running unit tests over the TPU tunnel is both slow and
+contends with real benchmarking).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# Smaller traced graphs (scan-based Montgomery REDC) compile ~4x faster on
+# CPU; runtime loss is irrelevant at test sizes. TPU bench paths keep the
+# unrolled default.
+import spectre_tpu.fields.limb as _limb
+
+_limb.REDC_UNROLL = False
 
 import random
 

