@@ -51,6 +51,27 @@ NL = V.NL
 
 COSET_CACHE_CAP = int(os.environ.get("SPECTRE_COSET_CACHE", "12"))
 
+_TRACE = os.environ.get("SPECTRE_TRACE", "") not in ("", "0")
+
+
+class _PhaseTimer:
+    """start_timer!/end_timer! analog (reference uses ark-std timers with
+    the print-trace feature, SURVEY §5); enabled via SPECTRE_TRACE=1."""
+
+    def __init__(self):
+        import time
+        self._time = time.time
+        self.t0 = self._time()
+        self.last = self.t0
+
+    def __call__(self, phase: str):
+        if not _TRACE:
+            return
+        now = self._time()
+        print(f"[prover +{now - self.t0:7.1f}s] {phase} "
+              f"(+{now - self.last:.1f}s)", flush=True)
+        self.last = now
+
 
 def _det_rand(seed: bytes, i: int) -> int:
     return int.from_bytes(
@@ -393,6 +414,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     usable = cs.usable_rows(n)
     n_blind = n - usable - 1
 
+    tm = _PhaseTimer()
     t = Blake2bTranscript()
     for col_vals in instances:
         for v in col_vals:
@@ -443,6 +465,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         advice_comms.append(cm)
         t.write_point(cm)
 
+    tm("advice upload+commit")
     # --- 1b. lookups: theta-compress, permuted pairs, commit ---
     theta = t.squeeze_challenge()
     theta_m = jnp.asarray(spec.encode(theta))
@@ -460,24 +483,22 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         s_dev = compress_dev(lk.tables, dev_cols)
         a_refs = _col_ref_only(lk.inputs)
         s_refs = _col_ref_only(lk.tables)
-        small = (a_refs is not None and s_refs is not None
-                 and len(a_refs) <= 2
-                 and all(0 <= v < 1 << 31
-                         for gi in a_refs + s_refs
-                         for v in (host_cols[gi][:usable]
-                                   if not isinstance(host_cols[gi], np.ndarray)
-                                   else [])))
-        if small and a_refs is not None:
-            a_np = [np.asarray(host_cols[gi][:usable], np.int64)
-                    for gi in a_refs]
-            s_np = [np.asarray(host_cols[gi][:usable], np.int64)
-                    for gi in s_refs]
-            if (len(a_refs) == 2
-                    and any(int(c.max(initial=0)) >> 32 for c in a_np + s_np)):
-                small = False
-            else:
-                order, s_assign = _lookup_indices_np(a_np, s_np, usable)
-        if not small:
+        order = None
+        if (a_refs is not None and s_refs is not None
+                and len(a_refs) <= 2):
+            try:
+                a_np = [np.asarray(host_cols[gi][:usable], np.int64)
+                        for gi in a_refs]
+                s_np = [np.asarray(host_cols[gi][:usable], np.int64)
+                        for gi in s_refs]
+                lim = (1 << 32) if len(a_refs) == 2 else (1 << 63)
+                if all(0 <= int(c.min(initial=0))
+                       and int(c.max(initial=0)) < lim
+                       for c in a_np + s_np):
+                    order, s_assign = _lookup_indices_np(a_np, s_np, usable)
+            except OverflowError:
+                order = None
+        if order is None:
             # generic path: host big-int values via theta fold
             def host_compress(exprs):
                 from .protocol import eval_expr_on_vectors
@@ -503,6 +524,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         lookups_data.append(dict(a=a_dev, s=s_dev, ap=ap_dev, sp=sp_dev,
                                  ca=ca, cs=cs_))
 
+    tm("lookup permuted pairs")
     beta = t.squeeze_challenge()
     gamma = t.squeeze_challenge()
     beta_m = jnp.asarray(spec.encode(beta))
@@ -536,6 +558,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         z_comms.append(cm)
         t.write_point(cm)
 
+    tm("permutation grand products")
     # --- 2b. lookup grand products ---
     for ld in lookups_data:
         num, den = _lookup_ratio_jit(usable)(
@@ -548,6 +571,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         ld["cz"] = cm
         t.write_point(cm)
 
+    tm("lookup grand products")
     # --- 3. vanishing random poly ---
     rand_coeffs_host = [rand_fr() for _ in range(n)]
     rand_coeffs = V.upload_ints(rand_coeffs_host, n)
@@ -557,6 +581,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     y = t.squeeze_challenge()
     y_m = jnp.asarray(spec.encode(y))
 
+    tm("random poly")
     # --- 4. quotient on the extended coset ---
     ext_k = k + max(1, (d - 1).bit_length())
     n_ext = 1 << ext_k
@@ -671,6 +696,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     h_evals = _zh_div_jit(f_ext)(acc, zh_inv)
     h_coeffs = V.coset_intt(h_evals, ext_k, COSET_SHIFT)
 
+    tm("quotient construction")
     h_comms = []
     h_pieces = []
     for i in range(f_ext):
@@ -680,6 +706,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         h_comms.append(cm)
         t.write_point(cm)
 
+    tm("h commits")
     x = t.squeeze_challenge()
     x_next = x * dom.omega % FR
     x_last = x * pow(dom.omega, usable, FR) % FR
@@ -746,6 +773,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     hv = V.eval_poly_at(h_collapsed, x)
     eval_claims.append((h_collapsed, x, hv, "H"))
 
+    tm("evaluations")
     # --- 6. GWC multiopen: fold per point with v, one witness per point ---
     v_ch = t.squeeze_challenge()
     groups: Dict[int, List[Tuple[object, int]]] = {}
@@ -762,6 +790,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         W = kzg.commit_coeff_col(srs, q)
         t.write_point(W)
 
+    tm("multiopen")
     return Proof(t.proof())
 
 

@@ -95,6 +95,80 @@ def test_srs(k: int, seed: int = 42) -> SrsKZG:
     return SrsKZG(k, g1_coeff, g1_lagrange, g2, s_g2, tau)
 
 
+def save_srs(srs: SrsKZG, path: str):
+    """Serialize SRS to an .npz (coordinates as 48-byte LE blobs)."""
+    import os
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def pack(pts):
+        arr = np.zeros((len(pts), 65), np.uint8)
+        for i, p in enumerate(pts):
+            if p is None:
+                continue
+            arr[i, 0] = 1
+            arr[i, 1:33] = np.frombuffer(
+                int(p[0]).to_bytes(32, "little"), np.uint8)
+            arr[i, 33:65] = np.frombuffer(
+                int(p[1]).to_bytes(32, "little"), np.uint8)
+        return arr
+
+    g2b = np.frombuffer(
+        b"".join(int(c).to_bytes(32, "little")
+                 for pair in (srs.g2, srs.s_g2) for c in (*pair[0], *pair[1])),
+        np.uint8)
+    np.savez_compressed(
+        path, k=srs.k, coeff=pack(srs.g1_coeff), lag=pack(srs.g1_lagrange),
+        g2=g2b, tau=np.frombuffer(
+            int(srs.tau or 0).to_bytes(32, "little"), np.uint8))
+
+
+def load_srs(path: str) -> SrsKZG:
+    d = np.load(path)
+
+    def unpack(arr):
+        out = []
+        for row in arr:
+            if row[0] == 0:
+                out.append(None)
+            else:
+                out.append((int.from_bytes(row[1:33].tobytes(), "little"),
+                            int.from_bytes(row[33:65].tobytes(), "little")))
+        return out
+
+    g2b = d["g2"].tobytes()
+    vals = [int.from_bytes(g2b[i * 32:(i + 1) * 32], "little")
+            for i in range(8)]
+    g2 = ((vals[0], vals[1]), (vals[2], vals[3]))
+    s_g2 = ((vals[4], vals[5]), (vals[6], vals[7]))
+    tau = int.from_bytes(d["tau"].tobytes(), "little") or None
+    return SrsKZG(int(d["k"]), unpack(d["coeff"]), unpack(d["lag"]),
+                  g2, s_g2, tau)
+
+
+_SRS_FILE_CACHE: dict = {}
+
+
+def cached_srs(k: int, params_dir: str | None = None) -> SrsKZG:
+    """Load (or generate + persist) the test SRS for degree k.
+
+    The PARAMS_DIR analog of halo2-base gen_srs (SURVEY §5
+    checkpoint/resume): deterministic test SRS, cached on disk so big-k
+    setup cost is paid once per machine."""
+    import os
+    params_dir = params_dir or os.environ.get("PARAMS_DIR", "./build/params")
+    key = (k, params_dir)
+    if key in _SRS_FILE_CACHE:
+        return _SRS_FILE_CACHE[key]
+    path = os.path.join(params_dir, f"srs_{k}.npz")
+    if os.path.exists(path):
+        srs = load_srs(path)
+    else:
+        srs = test_srs(k)
+        save_srs(srs, path)
+    _SRS_FILE_CACHE[key] = srs
+    return srs
+
+
 def commit_lagrange(srs: SrsKZG, evals_plain_limbs):
     """Commit to a polynomial given by its evaluations on the domain.
 

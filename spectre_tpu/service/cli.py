@@ -59,16 +59,84 @@ def _cmd_committee_poseidon(args) -> int:
     return 0
 
 
+def _spec_of(name: str):
+    from ..specs import MINIMAL, TESTNET, MAINNET
+    return {"minimal": MINIMAL, "testnet": TESTNET, "mainnet": MAINNET}[name]
+
+
+def _circuit_cls(proof: str):
+    if proof == "committee-update":
+        from ..circuits.committee_update import CommitteeUpdateCircuit
+        return CommitteeUpdateCircuit
+    if proof in ("sync-step", "sync-step-compressed"):
+        from ..circuits.sync_step import StepCircuit
+        return StepCircuit
+    raise KeyError(proof)
+
+
 def _cmd_circuit(args) -> int:
-    known = {"committee-update", "sync-step", "sync-step-compressed"}
-    if args.proof not in known:
-        print(f"unknown circuit {args.proof}", file=sys.stderr)
-        return 2
+    """circuit {proof} {setup,prove,gen-verifier} — the cli.rs spec_app
+    analog (prover/src/cli.rs:25-232)."""
+    import os
+    from ..poly import kzg
+    from ..circuits.app import Pinning
+
+    try:
+        cls = _circuit_cls(args.proof)
+    except (KeyError, ImportError) as e:
+        print(json.dumps({"status": "unavailable", "detail": str(e)}))
+        return 3
+    spec = _spec_of(args.spec)
+    os.makedirs(args.build_dir, exist_ok=True)
+    pk_path = os.path.join(args.build_dir,
+                           f"{args.proof}_{args.spec}_pk.pkl")
+    pin_path = os.path.join(args.config_path,
+                            f"{args.proof}_{args.spec}.json")
+
+    if args.command == "setup":
+        srs = kzg.cached_srs(args.k)
+        pk = cls.create_pk(spec, args.k, srs, pk_path=pk_path,
+                           pinning_path=pin_path)
+        print(json.dumps({
+            "status": "ok", "k": args.k, "pk": pk_path, "pinning": pin_path,
+            "n_advice": len(pk.vk.cs.advice),
+            "n_fixed": len(pk.vk.cs.fixed),
+            "n_lookups": len(pk.vk.cs.lookups),
+        }))
+        return 0
+
+    if args.command == "prove":
+        import time
+        srs = kzg.cached_srs(args.k)
+        if args.witness:
+            from ..witness.rotation import CommitteeUpdateArgs
+            from ..witness.step import SyncStepArgs
+            wcls = (CommitteeUpdateArgs if args.proof == "committee-update"
+                    else SyncStepArgs)
+            witness = wcls.from_file(args.witness, spec)
+        else:
+            witness = cls.default_witness(spec)
+        pk = cls.create_pk(spec, args.k, srs, pk_path=pk_path,
+                           pinning_path=pin_path, witness=witness)
+        t0 = time.time()
+        proof, instances = cls.gen_proof(pk, spec, srs, witness)
+        dt = time.time() - t0
+        ok = cls.verify(pk, srs, proof, instances)
+        out = {"status": "ok" if ok else "verify-failed",
+               "proof_bytes": len(proof.data),
+               "prove_seconds": round(dt, 2),
+               "instances": [[hex(v) for v in col] for col in instances]}
+        if args.out:
+            with open(args.out, "wb") as f:
+                f.write(proof.data)
+            out["proof"] = args.out
+        print(json.dumps(out))
+        return 0 if ok else 4
+
     print(json.dumps({
         "status": "unimplemented",
-        "detail": f"{args.proof}/{args.command}: application circuits land "
-                  "in the next milestones (gadget stack: poseidon done; "
-                  "sha256/bls pending)",
+        "detail": f"{args.command}: EVM verifier generation lands with the "
+                  "aggregation stage",
     }))
     return 3
 
@@ -87,12 +155,14 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("circuit", help="circuit lifecycle commands")
     c.add_argument("proof", choices=[
         "sync-step", "sync-step-compressed", "committee-update"])
-    c.add_argument("command", choices=["setup", "gen-verifier"])
+    c.add_argument("command", choices=["setup", "prove", "gen-verifier"])
     c.add_argument("-k", type=int, default=20)
     c.add_argument("--spec", default="testnet",
                    choices=["minimal", "testnet", "mainnet"])
     c.add_argument("--config-path", default="./config")
     c.add_argument("--build-dir", default="./build")
+    c.add_argument("--witness", help="witness JSON (default: dummy witness)")
+    c.add_argument("--out", help="write raw proof bytes here")
     c.set_defaults(fn=_cmd_circuit)
 
     u = sub.add_parser("utils", help="utility commands")
