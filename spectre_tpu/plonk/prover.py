@@ -112,9 +112,10 @@ _EXPR_JITS: Dict = {}
 
 def _expr_refs(e: Expr, out=None):
     if out is None:
-        out = set()
+        out = []
     if isinstance(e, ColumnRef):
-        out.add(e.index)
+        if e.index not in out:
+            out.append(e.index)
     elif isinstance(e, Sum):
         for t in e.terms:
             _expr_refs(t, out)
@@ -126,17 +127,36 @@ def _expr_refs(e: Expr, out=None):
     return out
 
 
+def _remap_expr(e: Expr, mapping: Dict[int, int]) -> Expr:
+    """Rewrite column indices to canonical positions so structurally
+    identical gates (e.g. the vertical gate on every advice column) share
+    ONE compiled graph — critical on the tunnel TPU where each distinct
+    jit costs a slow remote compile."""
+    if isinstance(e, ColumnRef):
+        return ColumnRef(mapping[e.index], e.rotation)
+    if isinstance(e, Sum):
+        return Sum(tuple(_remap_expr(t, mapping) for t in e.terms))
+    if isinstance(e, Prod):
+        return Prod(tuple(_remap_expr(f_, mapping) for f_ in e.factors))
+    if isinstance(e, Scaled):
+        return Scaled(_remap_expr(e.inner, mapping), e.scalar)
+    return e
+
+
 def _fold_expr(acc, expr: Expr, get_col, y_m, rot_unit: int):
     """acc = acc*y + eval(expr on coset); one fused device call per expr."""
-    key = (expr, rot_unit)
+    refs = _expr_refs(expr)
+    mapping = {gi: i for i, gi in enumerate(sorted(refs))}
+    canon_expr = _remap_expr(expr, mapping)
+    key = (canon_expr, rot_unit)
     if key not in _EXPR_JITS:
         @jax.jit
         def f(acc, y_m, cols):
-            c = eval_expr(expr, cols, spec, rot_unit=rot_unit)
+            c = eval_expr(canon_expr, cols, spec, rot_unit=rot_unit)
             return ops.fold(L._carry_relax(
                 spec, ops.mont_mul(acc, y_m) + c, passes=1))
         _EXPR_JITS[key] = f
-    cols = {gi: get_col(gi) for gi in _expr_refs(expr)}
+    cols = {mapping[gi]: get_col(gi) for gi in refs}
     return _EXPR_JITS[key](acc, y_m, cols)
 
 

@@ -1,0 +1,52 @@
+"""ICI-sharded NTT / MSM on the 8-way virtual CPU mesh, bit-exact vs
+single-device results (VERDICT round-1 item #7)."""
+import random
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from spectre_tpu.fields import limb as L
+from spectre_tpu.fields.params import BN254_FR as FR
+from spectre_tpu.poly.domain import Domain
+
+spec = L.fr_spec
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    return Mesh(np.array(devs[:8]), ("dp",))
+
+
+def test_ntt_sharded_bit_exact(mesh, rng):
+    from spectre_tpu.parallel import ntt_sharded, intt_sharded
+    k = 9
+    n = 1 << k
+    vals = [rng.randrange(FR) for _ in range(n)]
+    a = jnp.asarray(spec.encode_batch(vals))
+    out = ntt_sharded(a, k, mesh)
+    got = [spec.decode(v) for v in np.asarray(out)]
+    want = Domain(k).ntt_host(vals)
+    assert got == want
+    back = intt_sharded(out, k, mesh)
+    assert [spec.decode(v) for v in np.asarray(back)] == vals
+
+
+def test_msm_sharded_matches_host(mesh, rng):
+    from spectre_tpu.parallel import msm_sharded
+    from spectre_tpu.curves import host as H
+    from spectre_tpu.curves.limbjax import bn254_g1_ops as cops
+    curve = H.bn254_g1
+    N = 32
+    pts = [curve.mul(curve.gen, rng.randrange(1, 1 << 60)) for _ in range(N)]
+    scalars = [rng.randrange(FR) for _ in range(N)]
+    scalars[5] = 0
+    X, Y, Z = (jnp.asarray(np.asarray(c)) for c in cops.encode_points(pts))
+    S = spec.encode_plain_batch(scalars)
+    got = msm_sharded((X, Y, Z), S, mesh)
+    assert got == curve.msm(pts, scalars)
