@@ -423,7 +423,8 @@ class Proof:
 def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                  advice_evals: List[List[int]],
                  instances: List[List[int]],
-                 seed: bytes | None = None) -> Proof:
+                 seed: bytes | None = None,
+                 scheme: str = "shplonk") -> Proof:
     """seed=None (default) sources blinding from the OS CSPRNG (halo2's
     OsRng); pass an explicit seed only for deterministic test vectors."""
     if seed is None:
@@ -738,49 +739,47 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     adv_idx = {col.index: i for i, col in enumerate(cs.advice)}
     fix_idx = {col.index: i for i, col in enumerate(cs.fixed)}
 
-    # ordered list of (coeffs_dev, point, commitment_tag)
-    sched: List[Tuple[object, int, object]] = []
+    # ordered list of (poly_key, coeffs_dev, point); keys mirror
+    # verifier.py claim emission exactly (scheme grouping contract)
+    sched: List[Tuple[object, object, int]] = []
     for (gcol, rot) in queries:
         if kind_of[gcol] == "instance":
             continue
         z = x * pow(dom.omega, rot % n, FR) % FR
-        comm = (advice_comms[adv_idx[gcol]] if kind_of[gcol] == "advice"
-                else pk.vk.fixed_commitments[fix_idx[gcol]])
-        sched.append((coeffs_of(gcol), z, comm))
-    sched.append((rand_coeffs, x, rand_comm))
+        sched.append((("col", gcol), coeffs_of(gcol), z))
+    sched.append((("rand",), rand_coeffs, x))
     for gi in range(len(perm_cols)):
-        sched.append((pk.dev_sigma_coeffs(gi), x,
-                      pk.vk.sigma_commitments[gi]))
+        sched.append((("sig", gi), pk.dev_sigma_coeffs(gi), x))
     z_coeffs = [V.intt_dev(zd, k) for zd in z_devs]
     for c_idx in range(len(chunks)):
-        sched.append((z_coeffs[c_idx], x, z_comms[c_idx]))
-        sched.append((z_coeffs[c_idx], x_next, z_comms[c_idx]))
+        sched.append((("z", c_idx), z_coeffs[c_idx], x))
+        sched.append((("z", c_idx), z_coeffs[c_idx], x_next))
     for c_idx in range(1, len(chunks)):
-        sched.append((z_coeffs[c_idx - 1], x_last, z_comms[c_idx - 1]))
-    for ld in lookups_data:
-        sched.append((ld["z_coeffs"], x, ld["cz"]))
-        sched.append((ld["z_coeffs"], x_next, ld["cz"]))
-        sched.append((ld["ap_coeffs"], x, ld["ca"]))
-        sched.append((ld["ap_coeffs"], x_prev, ld["ca"]))
-        sched.append((ld["sp_coeffs"], x, ld["cs"]))
+        sched.append((("z", c_idx - 1), z_coeffs[c_idx - 1], x_last))
+    for li, ld in enumerate(lookups_data):
+        sched.append((("lz", li), ld["z_coeffs"], x))
+        sched.append((("lz", li), ld["z_coeffs"], x_next))
+        sched.append((("la", li), ld["ap_coeffs"], x))
+        sched.append((("la", li), ld["ap_coeffs"], x_prev))
+        sched.append((("ls", li), ld["sp_coeffs"], x))
 
     # batch evals per point (chunked stacking bounds memory)
     by_point: Dict[int, List[int]] = {}
-    for i, (_, z, _c) in enumerate(sched):
+    for i, (_k, _cf, z) in enumerate(sched):
         by_point.setdefault(z, []).append(i)
     values = [0] * len(sched)
     for z, idxs in by_point.items():
         CH = 8
         for off in range(0, len(idxs), CH):
             grp = idxs[off:off + CH]
-            vals = V.eval_polys_at([sched[i][0] for i in grp], z)
+            vals = V.eval_polys_at([sched[i][1] for i in grp], z)
             for i, v in zip(grp, vals):
                 values[i] = v
     for v in values:
         t.write_scalar(v)
 
-    eval_claims = [(cf, z, values[i], cm)
-                   for i, (cf, z, cm) in enumerate(sched)]
+    eval_claims = [(key, cf, z, values[i])
+                   for i, (key, cf, z) in enumerate(sched)]
 
     # h collapsed: sum x^{n i} h_i, opened at x (eval not written)
     xn = pow(x, n, FR)
@@ -791,13 +790,22 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             h_collapsed, jnp.asarray(spec.encode(mult)), piece)
         mult = mult * xn % FR
     hv = V.eval_poly_at(h_collapsed, x)
-    eval_claims.append((h_collapsed, x, hv, "H"))
+    eval_claims.append((("H",), h_collapsed, x, hv))
 
     tm("evaluations")
-    # --- 6. GWC multiopen: fold per point with v, one witness per point ---
+    if scheme == "shplonk":
+        _shplonk_open(t, srs, eval_claims)
+    else:
+        _gwc_open(t, srs, eval_claims)
+    tm("multiopen")
+    return Proof(t.proof())
+
+
+def _gwc_open(t, srs, eval_claims):
+    """GWC19 multiopen: fold per point with v, one witness per point."""
     v_ch = t.squeeze_challenge()
     groups: Dict[int, List[Tuple[object, int]]] = {}
-    for cf, z, val, _cm in eval_claims:
+    for _key, cf, z, val in eval_claims:
         groups.setdefault(z, []).append((cf, val))
     for z in sorted(groups):
         grp = groups[z]
@@ -810,8 +818,122 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         W = kzg.commit_coeff_col(srs, q)
         t.write_point(W)
 
-    tm("multiopen")
-    return Proof(t.proof())
+
+def shplonk_partition(eval_claims):
+    """Shared prover/verifier grouping: per-poly gamma indices by first
+    occurrence, then polys grouped by their (sorted) point set. The claim
+    emission order is the protocol contract between prover and verifier."""
+    poly_order = []
+    by_poly: Dict[object, dict] = {}
+    for entry in eval_claims:
+        key, z, val = entry[0], entry[-2], entry[-1]
+        if key not in by_poly:
+            by_poly[key] = dict(idx=len(poly_order), pts={}, obj=entry[1])
+            poly_order.append(key)
+        by_poly[key]["pts"][z] = val
+    sets: Dict[tuple, list] = {}
+    for key in poly_order:
+        S = tuple(sorted(by_poly[key]["pts"]))
+        sets.setdefault(S, []).append(key)
+    T = sorted({z for e in eval_claims for z in [e[-2]]})
+    return by_poly, sets, T
+
+
+def lagrange_interp(points: List[int], vals: Dict[int, int]) -> List[int]:
+    """Coefficients of the unique degree-<len(points) interpolant (host)."""
+    coeffs = [0] * len(points)
+    for zi in points:
+        # basis poly prod_{zj != zi} (X - zj) / (zi - zj), O(s^2)
+        basis = [1]
+        denom = 1
+        for zj in points:
+            if zj == zi:
+                continue
+            new = [0] * (len(basis) + 1)
+            for idx, b in enumerate(basis):
+                new[idx] = (new[idx] - zj * b) % FR
+                new[idx + 1] = (new[idx + 1] + b) % FR
+            basis = new
+            denom = denom * (zi - zj) % FR
+        scale = vals[zi] * inv_mod(denom, FR) % FR
+        for idx, b in enumerate(basis):
+            coeffs[idx] = (coeffs[idx] + scale * b) % FR
+    return coeffs
+
+
+def eval_host(coeffs: List[int], u: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * u + c) % FR
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _sub_low_jit(n: int, d: int):
+    @jax.jit
+    def f(a, r):  # r: (d, NL) mont
+        head = L._carry_relax(spec, a[:d] + r, passes=1)
+        return ops.fold(jnp.concatenate([head, a[d:]], axis=0))
+    return f
+
+
+def _sub_low(F, r_coeffs: List[int]):
+    """F minus a low-degree host polynomial (adds -r)."""
+    d = len(r_coeffs)
+    r = V.upload_ints([(FR - c) % FR for c in r_coeffs], d)
+    return _sub_low_jit(F.shape[0], d)(F, r)
+
+
+def _shplonk_open(t, srs, eval_claims):
+    """BDFG23 multi-open (the reference's gen_snark_shplonk scheme,
+    util/circuit.rs:163-180): ONE h commitment + ONE opening witness for
+    all claims — h(X) = sum_S gamma-folded (F_S - r_S)/Z_S, then the
+    linearized L(X) opened at u."""
+    gamma = t.squeeze_challenge()
+    by_poly, sets, T = shplonk_partition(eval_claims)
+
+    h = None
+    group_data = []
+    for S, keys in sets.items():
+        F = None
+        vals = {z: 0 for z in S}
+        for key in keys:
+            g = pow(gamma, by_poly[key]["idx"], FR)
+            cf = by_poly[key]["obj"]
+            F = (V.scalar_mul(cf, g) if F is None
+                 else _axpy_jit()(F, jnp.asarray(spec.encode(g)), cf))
+            for z in S:
+                vals[z] = (vals[z] + g * by_poly[key]["pts"][z]) % FR
+        r_coeffs = lagrange_interp(list(S), vals)
+        group_data.append((S, F, r_coeffs))
+        Q = _sub_low(F, r_coeffs)
+        for z in S:
+            Q = V.kzg_quotient(Q, z)
+        h = Q if h is None else _axpy_jit()(
+            h, jnp.asarray(spec.encode(1)), Q)
+    H = kzg.commit_coeff_col(srs, h)
+    t.write_point(H)
+
+    u = t.squeeze_challenge()
+    # L(X) = sum_S Z_{T\S}(u) (F_S(X) - r_S(u)) - Z_T(u) h(X); L(u) = 0
+    Lp = None
+    const_acc = 0
+    for (S, F, r_coeffs) in group_data:
+        zts = 1
+        for z in T:
+            if z not in S:
+                zts = zts * (u - z) % FR
+        Lp = (V.scalar_mul(F, zts) if Lp is None
+              else _axpy_jit()(Lp, jnp.asarray(spec.encode(zts)), F))
+        const_acc = (const_acc + zts * eval_host(r_coeffs, u)) % FR
+    zt_u = 1
+    for z in T:
+        zt_u = zt_u * (u - z) % FR
+    Lp = _axpy_jit()(Lp, jnp.asarray(spec.encode((FR - zt_u) % FR)), h)
+    Lp = _sub_low(Lp, [const_acc])
+    q = V.kzg_quotient(Lp, u)
+    W = kzg.commit_coeff_col(srs, q)
+    t.write_point(W)
 
 
 class _CosetDict:

@@ -18,17 +18,19 @@ from .prover import _cs_degree, Proof
 
 
 def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
-                 instances: List[List[int]], trapdoor: bool = False) -> bool:
+                 instances: List[List[int]], trapdoor: bool = False,
+                 scheme: str = "shplonk") -> bool:
     """Verify a proof. trapdoor=True uses the pairing-free test-SRS check
-    (requires srs.tau; test-only speed path)."""
+    (requires srs.tau; test-only; GWC scheme only)."""
     try:
-        return _verify_proof(vk, srs, proof, instances, trapdoor)
+        return _verify_proof(vk, srs, proof, instances, trapdoor, scheme)
     except ProofError:
         return False
 
 
 def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
-                  instances: List[List[int]], trapdoor: bool) -> bool:
+                  instances: List[List[int]], trapdoor: bool,
+                  scheme: str) -> bool:
     cs = vk.cs
     dom = vk.domain
     n = vk.n
@@ -88,16 +90,16 @@ def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
         evals[(gcol, rot)] = v
         comm = (advice_comms[adv_idx[gcol]] if kind_of[gcol] == "advice"
                 else vk.fixed_commitments[fix_idx[gcol]])
-        claims.append((comm, z, v))
+        claims.append((("col", gcol), comm, z, v))
 
     rand_eval = t.read_scalar()
-    claims.append((rand_comm, x, rand_eval))
+    claims.append((("rand",), rand_comm, x, rand_eval))
 
     sigma_evals = []
     for gi in range(len(perm_cols)):
         v = t.read_scalar()
         sigma_evals.append(v)
-        claims.append((vk.sigma_commitments[gi], x, v))
+        claims.append((("sig", gi), vk.sigma_commitments[gi], x, v))
 
     z_at_x, z_at_next = [], []
     for c_idx in range(len(chunks)):
@@ -105,13 +107,13 @@ def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
         vn = t.read_scalar()
         z_at_x.append(vx)
         z_at_next.append(vn)
-        claims.append((z_comms[c_idx], x, vx))
-        claims.append((z_comms[c_idx], x_next, vn))
+        claims.append((("z", c_idx), z_comms[c_idx], x, vx))
+        claims.append((("z", c_idx), z_comms[c_idx], x_next, vn))
     z_prev_last = []
     for c_idx in range(1, len(chunks)):
         v = t.read_scalar()
         z_prev_last.append(v)
-        claims.append((z_comms[c_idx - 1], x_last, v))
+        claims.append((("z", c_idx - 1), z_comms[c_idx - 1], x_last, v))
 
     x_prev = x * pow(dom.omega, n - 1, FR) % FR
     lookup_evals = []
@@ -123,11 +125,11 @@ def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
         spx = t.read_scalar()
         lookup_evals.append((zx, zn, apx, app, spx))
         ca, cst = lookup_perm_comms[li]
-        claims.append((lookup_z_comms[li], x, zx))
-        claims.append((lookup_z_comms[li], x_next, zn))
-        claims.append((ca, x, apx))
-        claims.append((ca, x_prev, app))
-        claims.append((cst, x, spx))
+        claims.append((("lz", li), lookup_z_comms[li], x, zx))
+        claims.append((("lz", li), lookup_z_comms[li], x_next, zn))
+        claims.append((("la", li), ca, x, apx))
+        claims.append((("la", li), ca, x_prev, app))
+        claims.append((("ls", li), cst, x, spx))
 
     # ---- recompute the folded constraint value at x ----
     l0x, llastx = lagrange_evals_at(dom, x, [0, usable])
@@ -187,12 +189,18 @@ def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
     for cm in h_comms:
         h_comm = curve.add(h_comm, curve.mul(cm, mult))
         mult = mult * xn % FR
-    claims.append((h_comm, x, expected_h))
+    claims.append((("H",), h_comm, x, expected_h))
 
-    # ---- GWC multiopen check (one batched pairing product) ----
+    if scheme == "shplonk":
+        return _check_shplonk(t, srs, claims)
+    return _check_gwc(t, srs, claims, trapdoor)
+
+
+def _check_gwc(t, srs, claims, trapdoor: bool) -> bool:
+    curve = H.bn254_g1
     v_ch = t.squeeze_challenge()
     by_point: Dict[int, List[Tuple[object, int]]] = {}
-    for comm, z, val in claims:
+    for _key, comm, z, val in claims:
         by_point.setdefault(z, []).append((comm, val))
     open_claims = []
     for z in sorted(by_point):
@@ -210,3 +218,40 @@ def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
         return all(kzg.verify_open_trapdoor(srs, F, z, rv, W)
                    for (F, z, rv, W) in open_claims)
     return kzg.verify_open_batch(srs, open_claims)
+
+
+def _check_shplonk(t, srs, claims) -> bool:
+    r"""BDFG23 check: E = sum_S Z_{T\S}(u)(C_S - [r_S(u)]G) - Z_T(u)H
+    must open to 0 at u with witness W — one pairing product."""
+    from .prover import shplonk_partition, lagrange_interp, eval_host
+    curve = H.bn254_g1
+    gamma = t.squeeze_challenge()
+    by_poly, sets, T = shplonk_partition(claims)
+    group_data = []
+    for S, keys in sets.items():
+        C = None
+        vals = {z: 0 for z in S}
+        for key in keys:
+            g = pow(gamma, by_poly[key]["idx"], FR)
+            C = curve.add(C, curve.mul(by_poly[key]["obj"], g))
+            for z in S:
+                vals[z] = (vals[z] + g * by_poly[key]["pts"][z]) % FR
+        group_data.append((S, C, lagrange_interp(list(S), vals)))
+    Hc = t.read_point()
+    u = t.squeeze_challenge()
+    E = None
+    const_acc = 0
+    for (S, C, r_coeffs) in group_data:
+        zts = 1
+        for z in T:
+            if z not in S:
+                zts = zts * (u - z) % FR
+        E = curve.add(E, curve.mul(C, zts))
+        const_acc = (const_acc + zts * eval_host(r_coeffs, u)) % FR
+    zt_u = 1
+    for z in T:
+        zt_u = zt_u * (u - z) % FR
+    E = curve.add(E, curve.neg(curve.mul(curve.gen, const_acc)))
+    E = curve.add(E, curve.neg(curve.mul(Hc, zt_u)))
+    W = t.read_point()
+    return kzg.verify_open_batch(srs, [(E, u, 0, W)])

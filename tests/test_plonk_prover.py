@@ -91,3 +91,11 @@ def test_prover_rejects_cheating_witness(setup):
     bad_advice[2][3] = (bad_advice[2][3] + 1) % FR  # break chain at row 3
     proof = create_proof(pk, srs, bad_advice, instances)
     assert not verify_proof(pk.vk, srs, proof, instances)
+
+
+def test_gwc_scheme_roundtrip(setup):
+    """The GWC multiopen path stays supported behind scheme='gwc'."""
+    cs, srs, pk, advice, instances, _ = setup
+    proof = create_proof(pk, srs, advice, instances, scheme="gwc")
+    assert verify_proof(pk.vk, srs, proof, instances, scheme="gwc")
+    assert not verify_proof(pk.vk, srs, proof, instances)  # scheme mismatch
