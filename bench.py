@@ -3,53 +3,110 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Current headline metric: BN254 Fr NTT throughput at 2^20 (the polynomial
-backbone of the prover; BASELINE.md targets NTT 2^23 elems/s). vs_baseline
-compares against an estimated reference-prover CPU FFT throughput of
-10M elems/s for a 64-core host (the reference publishes no numbers —
-BASELINE.md; this estimate is recorded here so the ratio is reproducible).
+Metric selected by SPECTRE_BENCH_METRIC:
+  msm  (default) — BN254 G1 Pippenger MSM points/s/chip at 2^20 over the
+                   Lagrange SRS basis (the prover's commit hot path;
+                   BASELINE.md "MSM points/s/chip").
+  ntt            — BN254 Fr NTT throughput at 2^23 (BASELINE.md metric).
+  prove          — committee-update NANO end-to-end prove seconds.
+
+Baselines (the reference publishes no numbers — BASELINE.md): estimated
+64-core rayon halo2 throughputs, recorded here so ratios are reproducible:
+MSM 2^16 in ~0.65s ≈ 100k points/s; FFT ≈ 10M elems/s.
 """
 import json
+import os
 import sys
 import time
 
-BASELINE_NTT_ELEMS_PER_S = 10e6  # assumed 64-core rayon halo2 FFT @ 2^20
+BASELINE_MSM_POINTS_PER_S = 100e3   # assumed 64-core rayon Pippenger
+BASELINE_NTT_ELEMS_PER_S = 10e6     # assumed 64-core rayon halo2 FFT
 
 
-def main():
+def bench_msm():
     import numpy as np
     import jax
+    from spectre_tpu.fields import limb as L
+    from spectre_tpu.poly import kzg
+    from spectre_tpu.poly.msm_pippenger import commit_dev
 
     k = 20
     n = 1 << k
+    srs = kzg.cached_srs(k)
+    enc = kzg._lag_enc_dev(srs)
+    rng = np.random.RandomState(0)
+    # random canonical-limb scalars (11-bit plain limbs, top limbs clipped)
+    s = rng.randint(0, 2048, size=(n, L.fr_spec.n_limbs)).astype(np.int32)
+    s[:, -1] = 0
+    import jax.numpy as jnp
+    s = jax.device_put(s)
+    t0 = time.time()
+    commit_dev(enc, s)          # includes decode → forces completion
+    warm = time.time() - t0
+    iters = 2
+    t0 = time.time()
+    for _ in range(iters):
+        commit_dev(enc, s)
+    dt = (time.time() - t0) / iters
+    value = n / dt
+    return {
+        "metric": f"msm_bn254_g1_2^{k}",
+        "value": round(value, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(value / BASELINE_MSM_POINTS_PER_S, 4),
+    }
 
+
+def bench_ntt():
+    import numpy as np
+    import jax
     from spectre_tpu.fields import limb as L
     from spectre_tpu.poly.ntt_fast import ntt_t
 
+    k = 23
+    n = 1 << k
     spec = L.fr_spec
     rng = np.random.RandomState(0)
-    # random Montgomery-form limb vectors in transposed (limb, batch) layout:
-    # random canonical limbs are a valid representative set for throughput
     a = jax.device_put(
         rng.randint(0, spec.B, size=(spec.n_limbs, n)).astype(np.int32))
-
-    # warmup + compile; fetching a slice forces real completion (on
-    # tunnel-attached TPUs block_until_ready can return before execution)
-    np.asarray(ntt_t(a, k)[:, :2])
-
+    np.asarray(ntt_t(a, k)[:, :2])     # fetch forces completion (tunnel)
     iters = 3
     t0 = time.time()
     for _ in range(iters):
         np.asarray(ntt_t(a, k)[:, :2])
     dt = (time.time() - t0) / iters
-
     value = n / dt
-    print(json.dumps({
+    return {
         "metric": f"ntt_bn254_fr_2^{k}",
         "value": round(value, 1),
         "unit": "elems/s",
         "vs_baseline": round(value / BASELINE_NTT_ELEMS_PER_S, 4),
-    }))
+    }
+
+
+def bench_prove():
+    import subprocess
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-u", "scripts/prove_committee.py",
+         "--spec", "nano", "--k", "18"],
+        capture_output=True, text=True, timeout=5200)
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    d = json.loads(line[-1])
+    assert d["verified"]
+    # baseline: reference committee-update k=18-equivalent prove est. 30 s
+    return {
+        "metric": "committee_update_nano_k18_prove",
+        "value": d["prove_s"],
+        "unit": "s",
+        "vs_baseline": round(30.0 / max(d["prove_s"], 1e-9), 4),
+    }
+
+
+def main():
+    which = os.environ.get("SPECTRE_BENCH_METRIC", "msm")
+    fn = {"msm": bench_msm, "ntt": bench_ntt, "prove": bench_prove}[which]
+    print(json.dumps(fn()))
 
 
 if __name__ == "__main__":

@@ -339,13 +339,16 @@ class CircuitBuilder:
 
     def compile(self, k: int):
         """Lay out into plonk columns. Returns (cs, fixed_evals,
-        advice_evals, instances)."""
+        advice_evals, instances). External regions (builder.regions, e.g.
+        the wide SHA-256 engine) contribute their own columns, gates,
+        witness and copy links."""
         n = 1 << k
         cs = ConstraintSystem()
         ctx = self.ctx
-        # tentative usable-row count: the vertical gate (degree 3) and the
-        # range lookup (degree 4 rule) dominate; ConstraintSystem recomputes
-        # blinding from the final gate set, which matches this shape.
+        # tentative usable-row count: the vertical gate (degree 3), the
+        # range lookup (degree 4 rule) and region gates (degree <= 4)
+        # dominate; ConstraintSystem recomputes blinding from the final
+        # gate set, which matches this shape.
         usable_probe = n - 7
         col_vals, q_rows, placements, dup_links = self._layout(usable_probe)
         n_adv = len(col_vals)
@@ -384,10 +387,33 @@ class CircuitBuilder:
             c, r = placements[virt]
             return (adv_cols[c].index, r)
 
+        # ---- external regions: columns + gates + witness ----
+        regions = getattr(self, "regions", [])
+        region_fixed: dict = {}
+        region_advice: dict = {}
+        region_consts = []
+        for rg in regions:
+            rg.build(cs, usable)
+        assert cs.usable_rows(n) == usable, "region gates changed blinding"
+        for rg in regions:
+            fv, av, rcopies, links, consts = rg.assign(n, usable)
+            region_fixed.update(fv)
+            region_advice.update(av)
+            for (pa, pb) in rcopies:
+                cs.copy(pa, pb)
+            for (virt, pos) in links:
+                cs.copy(phys(virt), pos)
+            region_consts.extend(consts)
+
         # constants column (may spill into extra fixed columns)
         const_values: List[int] = []
         const_row: dict = {}
         for cell, cval in ctx.constant_pins:
+            if cval not in const_row:
+                const_row[cval] = len(const_values)
+                const_values.append(cval)
+        for (cval, _pos) in region_consts:
+            cval %= FR
             if cval not in const_row:
                 const_row[cval] = len(const_values)
                 const_values.append(cval)
@@ -404,6 +430,8 @@ class CircuitBuilder:
 
         for cell, cval in ctx.constant_pins:
             cs.copy(phys(cell), const_pos(cval))
+        for (cval, pos) in region_consts:
+            cs.copy(pos, const_pos(cval % FR))
         for a, b in ctx.equalities:
             cs.copy(phys(a), phys(b))
         for (pa, pb) in dup_links:
@@ -412,34 +440,33 @@ class CircuitBuilder:
         for i, av in enumerate(self.exposed):
             cs.copy(phys(av.idx), (inst.index, i))
 
-        # ---- column value tables ----
-        const_vals_cols = []
-        for ci in range(len(all_const_cols)):
+        # ---- column value tables (keyed by global column index) ----
+        fixed_by_idx: dict = dict(region_fixed)
+        advice_by_idx: dict = dict(region_advice)
+
+        for ci, col in enumerate(all_const_cols):
             vals = const_values[ci * usable:(ci + 1) * usable]
-            const_vals_cols.append(vals + [0] * (n - len(vals)))
-        q_vals_cols = []
-        for rows in q_rows:
+            fixed_by_idx[col.index] = vals + [0] * (n - len(vals))
+        for qcol, rows in zip(q_cols, q_rows):
             qv = [0] * n
             for r in rows:
                 qv[r] = 1
-            q_vals_cols.append(qv)
-        adv_vals_cols = [c + [0] * (n - len(c)) for c in col_vals]
-
-        fixed_evals = [const_vals_cols[0]] + q_vals_cols + const_vals_cols[1:]
-        advice_evals = list(adv_vals_cols)
+            fixed_by_idx[qcol.index] = qv
+        for acol, c in zip(adv_cols, col_vals):
+            advice_by_idx[acol.index] = c + [0] * (n - len(c))
 
         if self.lookup_bits is not None:
             tb = 1 << self.lookup_bits
             assert tb <= usable
-            table_vals = list(range(tb)) + [0] * (n - tb)
-            fixed_evals.append(table_vals)
+            fixed_by_idx[table_col.index] = (
+                list(range(tb)) + [0] * (n - tb))
             for li, lc in enumerate(lookup_cols):
                 lk_vals = [0] * n
                 for r, cell in enumerate(
                         ctx.lookup_cells[li * usable:(li + 1) * usable]):
                     lk_vals[r] = ctx.cells[cell]
                     cs.copy(phys(cell), (lc.index, r))
-                advice_evals.append(lk_vals)
+                advice_by_idx[lc.index] = lk_vals
 
         # ---- custom fixed tables + their pinned lookups ----
         for name, columns in self.tables.items():
@@ -449,8 +476,8 @@ class CircuitBuilder:
             # table rows must include the all-zero padding row for the
             # pin-columns' unused rows
             tcols = [cs.fixed_column() for _ in range(arity)]
-            fixed_evals.extend(
-                [list(c) + [0] * (n - rows) for c in columns])
+            for tcol, cvals in zip(tcols, columns):
+                fixed_by_idx[tcol.index] = list(cvals) + [0] * (n - rows)
             pins = ctx.table_pins.get(name, [])
             n_pin_cols = max(1, -(-len(pins) // usable))
             for pi in range(n_pin_cols):
@@ -466,6 +493,9 @@ class CircuitBuilder:
                     for j, cell in enumerate(cells):
                         vals[j][r] = ctx.cells[cell]
                         cs.copy(phys(cell), (acols[j].index, r))
-                advice_evals.extend(vals)
+                for acol, v in zip(acols, vals):
+                    advice_by_idx[acol.index] = v
 
+        fixed_evals = [fixed_by_idx[col.index] for col in cs.fixed]
+        advice_evals = [advice_by_idx[col.index] for col in cs.advice]
         return cs, fixed_evals, advice_evals, self.instances()

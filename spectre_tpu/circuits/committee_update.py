@@ -12,6 +12,12 @@ Re-designs committee_update_circuit.rs:50-124 on the spectre_tpu stack:
   * instances [poseidon_commitment, root_lo, root_hi] matching
     get_instances (:198-222) — parity asserted against
     witness.rotation.committee_update_instances.
+
+All hashing runs on the wide (row-parallel) SHA-256 region — the
+reference's Sha256ChipWide choice for exactly this circuit
+(committee_update_circuit.rs:59, sha256_wide.rs:36-112): digests chain
+between merkle levels as u32 WORD cells, so the ~1.5k compression blocks
+cost 72 rows each instead of ~84k generic builder cells.
 """
 from __future__ import annotations
 
@@ -21,8 +27,8 @@ from ..specs import Spec, TESTNET
 from ..witness.rotation import CommitteeUpdateArgs
 from .builder import CircuitBuilder, Context, AssignedValue
 from .app import AppCircuit
-from .sha256_gadget import Sha256Chip
-from .ssz_merkle import ssz_merkleize_chunks, verify_merkle_proof
+from .sha256_wide import ShaWideChip
+from .ssz_merkle import ssz_merkleize_words, verify_merkle_proof_words
 from .poseidon_gadget import g1_array_poseidon_gadget
 
 FOLD_LO_BYTES = 26  # (LIMB_BITS/8)*2 with LIMB_BITS=104
@@ -51,10 +57,20 @@ def _bytes_to_cells(b: CircuitBuilder, data: bytes) -> List[AssignedValue]:
     return cells
 
 
-def _u64_chunk_cells(b: CircuitBuilder, value: int) -> List[AssignedValue]:
-    ctx = b.main()
-    le = int(value).to_bytes(8, "little")
-    return _bytes_to_cells(b, le) + [ctx.load_constant(0)] * 24
+def _chunk_words(ctx: Context, data: bytes) -> List:
+    """32-byte witness chunk -> 8 BE u32 word cells (trailing all-zero
+    words stay int constants). Word cells need no standalone range check:
+    every use copies them into the wide region's schedule, whose w16 gate
+    binds them to a boolean-constrained 32-bit decomposition."""
+    words = [int.from_bytes(data[4 * i:4 * i + 4], "big") for i in range(8)]
+    nz = 8
+    while nz > 0 and words[nz - 1] == 0:
+        nz -= 1
+    return ctx.assign_many(words[:nz]) + [0] * (8 - nz)
+
+
+def _u64_chunk_words(ctx: Context, value: int) -> List:
+    return _chunk_words(ctx, int(value).to_bytes(8, "little") + b"\x00" * 24)
 
 
 class CommitteeUpdateCircuit(AppCircuit):
@@ -65,11 +81,15 @@ class CommitteeUpdateCircuit(AppCircuit):
     @classmethod
     def build(cls, witness: CommitteeUpdateArgs, spec: Spec) -> CircuitBuilder:
         b = CircuitBuilder()
-        chip = Sha256Chip(b)
+        chip = ShaWideChip(b)
         _register_u8(b)
         ctx = b.main()
 
         # ---- assign pubkeys, decode X + y sign ----
+        # Pubkey BYTE cells are u8-pinned because the same cells are
+        # regrouped two ways (SHA 4-byte words vs the Poseidon 26/22-byte
+        # fold) — without the range pin value could shift between bytes
+        # (round-1 advisor finding).
         pk_cells: List[List[AssignedValue]] = []
         x_pairs: List[List[AssignedValue]] = []
         y_signs: List[AssignedValue] = []
@@ -97,40 +117,38 @@ class CommitteeUpdateCircuit(AppCircuit):
             packed.append(ctx.bits_to_num(chunk))
         poseidon_commit = g1_array_poseidon_gadget(ctx, x_pairs, packed)
 
-        # ---- committee SSZ root ----
-        zero = ctx.load_constant(0)
-        leaves = []
-        for cells in pk_cells:
-            padded = cells + [zero] * 16
-            leaves.append(chip.digest_bytes_cells(padded))
-        committee_root = ssz_merkleize_chunks(chip, ctx, leaves)
+        # ---- committee SSZ root (wide engine, word-level chaining) ----
+        leaves = [chip.digest_words_of_bytes(cells + [0] * 16)
+                  for cells in pk_cells]
+        committee_root = ssz_merkleize_words(chip, leaves)
 
         # ---- finalized header root ----
         h = witness.finalized_header
-        state_root_cells = _bytes_to_cells(b, bytes(h.state_root))
+        # state_root words all as cells: they double as the merkle-proof
+        # target, which equality-constrains each word cell.
+        state_words = ctx.assign_many(
+            [int.from_bytes(bytes(h.state_root)[4 * i:4 * i + 4], "big")
+             for i in range(8)])
         header_chunks = [
-            _u64_chunk_cells(b, h.slot),
-            _u64_chunk_cells(b, h.proposer_index),
-            _bytes_to_cells(b, bytes(h.parent_root)),
-            state_root_cells,
-            _bytes_to_cells(b, bytes(h.body_root)),
+            _u64_chunk_words(ctx, h.slot),
+            _u64_chunk_words(ctx, h.proposer_index),
+            _chunk_words(ctx, bytes(h.parent_root)),
+            state_words,
+            _chunk_words(ctx, bytes(h.body_root)),
         ]
-        header_root = ssz_merkleize_chunks(chip, ctx, header_chunks)
+        header_root = ssz_merkleize_words(chip, header_chunks)
 
         # ---- committee root proven into the finalized state root ----
-        branch = [_bytes_to_cells(b, bytes(n))
+        branch = [_chunk_words(ctx, bytes(n))
                   for n in witness.sync_committee_branch]
-        verify_merkle_proof(chip, ctx, committee_root, branch,
-                            spec.sync_committee_pubkeys_root_index,
-                            state_root_cells)
+        verify_merkle_proof_words(chip, ctx, committee_root, branch,
+                                  spec.sync_committee_pubkeys_root_index,
+                                  state_words)
 
         # ---- public inputs: [poseidon, root_lo(u128), root_hi(u128)] ----
-        root_lo = ctx.inner_product(
-            list(reversed(header_root[16:32])),
-            [1 << (8 * i) for i in range(16)])
-        root_hi = ctx.inner_product(
-            list(reversed(header_root[0:16])),
-            [1 << (8 * i) for i in range(16)])
+        w128 = [1 << 96, 1 << 64, 1 << 32, 1]
+        root_lo = ctx.inner_product(list(header_root[4:8]), w128)
+        root_hi = ctx.inner_product(list(header_root[0:4]), w128)
         b.expose_public(poseidon_commit)
         b.expose_public(root_lo)
         b.expose_public(root_hi)

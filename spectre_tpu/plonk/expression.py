@@ -118,6 +118,97 @@ class Scaled(Expr):
         return self.inner.max_rotation()
 
 
+def collect_columns(expr: Expr, out=None) -> set:
+    """Set of column indices referenced by an expression."""
+    if out is None:
+        out = set()
+    if isinstance(expr, ColumnRef):
+        out.add(expr.index)
+    elif isinstance(expr, Sum):
+        for t in expr.terms:
+            collect_columns(t, out)
+    elif isinstance(expr, Prod):
+        for f in expr.factors:
+            collect_columns(f, out)
+    elif isinstance(expr, Scaled):
+        collect_columns(expr.inner, out)
+    return out
+
+
+def _signed(s: int) -> int:
+    """Map a mod-r scalar to its signed representative."""
+    return s - FR if s > FR // 2 else s
+
+
+def int_bound(expr: Expr, col_bounds) -> int | None:
+    """Worst-case |value| for small-integer evaluation, given per-column
+    max canonical values. None = unbounded/unsupported (falls back to the
+    field evaluator). Every partial (prefix sums/products in eval order)
+    is also bounded by the returned value, so a bound < 2^62 guarantees
+    overflow-free int64 evaluation."""
+    if isinstance(expr, Const):
+        return abs(_signed(expr.value))
+    if isinstance(expr, ColumnRef):
+        b = col_bounds.get(expr.index)
+        return None if b is None else int(b)
+    if isinstance(expr, Sum):
+        acc = 0
+        for t in expr.terms:
+            b = int_bound(t, col_bounds)
+            if b is None:
+                return None
+            acc += b
+        return acc
+    if isinstance(expr, Prod):
+        # prefix partial products are the values eval_expr_int materializes;
+        # bound each (zeros floored to 1 so a 0-bound factor can't hide an
+        # overflowing earlier prefix)
+        acc = 1
+        for f in expr.factors:
+            b = int_bound(f, col_bounds)
+            if b is None:
+                return None
+            acc *= max(b, 1)
+            if acc > (1 << 62):
+                return None
+        return acc
+    if isinstance(expr, Scaled):
+        b = int_bound(expr.inner, col_bounds)
+        return None if b is None else b * abs(_signed(expr.scalar))
+    return None  # Challenge etc.
+
+
+def eval_expr_int(expr: Expr, int_cols) -> np.ndarray:
+    """Exact small-integer evaluation over int64 row vectors.
+
+    int_cols maps column index -> (n_rows,) int64 canonical values. The
+    caller must have verified int_bound(...) < 2^62: then the integer
+    result equals the field value's signed representative, and ==0 here
+    iff the gate vanishes mod r. This is the MockProver hot path for
+    bit-heavy regions (wide SHA-256), whose gate trees would otherwise
+    trace thousands of Montgomery multiplies."""
+    if isinstance(expr, Const):
+        return np.int64(_signed(expr.value))
+    if isinstance(expr, ColumnRef):
+        col = int_cols[expr.index]
+        if expr.rotation:
+            col = np.roll(col, -expr.rotation)
+        return col
+    if isinstance(expr, Sum):
+        acc = eval_expr_int(expr.terms[0], int_cols)
+        for t in expr.terms[1:]:
+            acc = acc + eval_expr_int(t, int_cols)
+        return acc
+    if isinstance(expr, Prod):
+        acc = eval_expr_int(expr.factors[0], int_cols)
+        for f in expr.factors[1:]:
+            acc = acc * eval_expr_int(f, int_cols)
+        return acc
+    if isinstance(expr, Scaled):
+        return eval_expr_int(expr.inner, int_cols) * _signed(expr.scalar)
+    raise TypeError(f"unsupported expr for int eval: {expr!r}")
+
+
 def eval_expr(expr: Expr, columns, spec: L.FieldSpec = L.fr_spec,
               challenges=(), amp_budget: int = 16, rot_unit: int = 1):
     # amp_budget capped so products of two folded sums stay inside the REDC

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..fields import limb as L
 from .cs import ConstraintSystem
-from .expression import eval_expr
+from .expression import (eval_expr, eval_expr_int, int_bound,
+                         collect_columns)
 
 
 class MockProver:
@@ -45,35 +46,73 @@ class MockProver:
         ops = self._ops
         usable = self.cs.usable_rows(self.n)
 
-        @jax.jit
-        def gate_fail_rows(cols):
-            outs = []
-            for g in self.cs.gates:
-                for p in g.polys:
-                    v = eval_expr(p, cols, self.spec)
-                    nz = ~ops.is_zero(v, amplitude=32)
-                    outs.append(nz)
-            return outs
-
-        results = gate_fail_rows(self.columns)
-        i = 0
-        for g in self.cs.gates:
-            for pi, p in enumerate(g.polys):
-                nz = np.asarray(results[i])
-                i += 1
-                bad = np.nonzero(nz[:usable])[0]
-                if bad.size:
-                    failures.append(
-                        f"gate '{g.name}' poly {pi} fails at rows "
-                        f"{bad[:8].tolist()}{'...' if bad.size > 8 else ''}")
-
-        # canonical plain views for copies (built lazily, per column)
+        # canonical plain views (built lazily, per column)
         plain_cache = {}
 
         def plain(col_idx) -> np.ndarray:
             if col_idx not in plain_cache:
                 plain_cache[col_idx] = self._plain_rows(self.columns[col_idx])
             return plain_cache[col_idx]
+
+        # ---- gate checks ----
+        # Integer fast path: when every referenced column holds small
+        # canonical values and the expression's worst-case magnitude fits
+        # int64, evaluate exactly over the integers (==0 iff ==0 mod r).
+        # This is what makes bit-decomposed regions (wide SHA-256: tens of
+        # thousands of Montgomery multiplies per gate tree) verify in
+        # milliseconds instead of minutes of XLA compilation.
+        lb = self.spec.limb_bits
+        m_small = 62 // lb - 1          # limbs kept in the int64 view
+        int_views: dict = {}
+
+        def int_view(ci):
+            if ci not in int_views:
+                pl = plain(ci)
+                if pl[:, m_small:].any():
+                    int_views[ci] = None
+                else:
+                    w = (1 << (lb * np.arange(m_small, dtype=np.int64)))
+                    int_views[ci] = pl[:, :m_small].astype(np.int64) @ w
+            return int_views[ci]
+
+        slow: List[tuple] = []
+        for g in self.cs.gates:
+            for pi, p in enumerate(g.polys):
+                refs = collect_columns(p)
+                views = {ci: int_view(ci) for ci in refs}
+                if all(v is not None for v in views.values()):
+                    bounds = {ci: int(v.max(initial=0))
+                              for ci, v in views.items()}
+                    if (b := int_bound(p, bounds)) is not None \
+                            and b < (1 << 62):
+                        v = eval_expr_int(p, views)
+                        bad = np.nonzero(
+                            np.atleast_1d(v)[:usable])[0]
+                        if bad.size:
+                            failures.append(
+                                f"gate '{g.name}' poly {pi} fails at rows "
+                                f"{bad[:8].tolist()}"
+                                f"{'...' if bad.size > 8 else ''}")
+                        continue
+                slow.append((g, pi, p))
+
+        if slow:
+            @jax.jit
+            def gate_fail_rows(cols):
+                outs = []
+                for _, _, p in slow:
+                    v = eval_expr(p, cols, self.spec)
+                    outs.append(~ops.is_zero(v, amplitude=32))
+                return outs
+
+            results = gate_fail_rows(self.columns)
+            for (g, pi, _), nzd in zip(slow, results):
+                nz = np.asarray(nzd)
+                bad = np.nonzero(nz[:usable])[0]
+                if bad.size:
+                    failures.append(
+                        f"gate '{g.name}' poly {pi} fails at rows "
+                        f"{bad[:8].tolist()}{'...' if bad.size > 8 else ''}")
 
         # copy constraints: vectorized gather + compare per column pair
         if self.cs.copies:

@@ -6,10 +6,10 @@ Methods (rpc_api.rs:8-10):
 
 Concurrency is bounded by an asyncio semaphore (the reference's tokio
 semaphore, rpc.rs:68-75). ProverState preloads SRS/keys at boot
-(prover.rs:44-117 analog). Until the app circuits land, handlers run the
-witness pipeline (preprocess + instance computation) and return a structured
-"unimplemented" error for the proving stage — so the wire format and
-concurrency behavior are already exercisable.
+(prover.rs:44-117 analog); handlers run witness acquisition with fail-fast
+merkle pre-checks, then the full prove + self-verify in a thread executor,
+returning {proof, instances}. (Returned proofs are the uncompressed app
+proofs until the aggregation/EVM stage lands.)
 """
 from __future__ import annotations
 
@@ -26,11 +26,44 @@ JSONRPC_METHOD_NOT_FOUND = -32601
 
 @dataclass
 class ProverState:
+    """Preloads SRS + proving keys at boot (prover.rs:44-117 analog) so
+    requests never re-key; proving runs in a thread executor under the
+    concurrency semaphore."""
     spec: Spec
     concurrency: int = 1
+    k_step: int = 20
+    k_committee: int = 20
+    build_dir: str = "./build"
 
     def __post_init__(self):
         self.semaphore = asyncio.Semaphore(self.concurrency)
+        self._pks = {}
+        self._srs = {}
+
+    def srs(self, k: int):
+        from ..poly import kzg
+        if k not in self._srs:
+            self._srs[k] = kzg.cached_srs(k)
+        return self._srs[k]
+
+    def pk(self, kind: str):
+        import os
+        if kind not in self._pks:
+            k = self.k_committee if kind == "committee" else self.k_step
+            cls = self._circuit(kind)
+            pk_path = os.path.join(
+                self.build_dir, f"{kind}_{self.spec.name}_pk.pkl")
+            self._pks[kind] = cls.create_pk(self.spec, k, self.srs(k),
+                                            pk_path=pk_path)
+        return self._pks[kind]
+
+    @staticmethod
+    def _circuit(kind: str):
+        if kind == "committee":
+            from ..circuits.committee_update import CommitteeUpdateCircuit
+            return CommitteeUpdateCircuit
+        from ..circuits.sync_step import StepCircuit
+        return StepCircuit
 
 
 async def _handle(state: ProverState, method: str, params) -> dict:
@@ -40,6 +73,21 @@ async def _handle(state: ProverState, method: str, params) -> dict:
     from ..witness.rotation import committee_update_instances
     from ..ssz import _hex
 
+    def prove(kind: str, args, instances):
+        cls = ProverState._circuit(kind)
+        pk = state.pk(kind)
+        k = state.k_committee if kind == "committee" else state.k_step
+        proof, got = cls.gen_proof(pk, state.spec, state.srs(k), args)
+        if got != instances:
+            raise RpcError(JSONRPC_INTERNAL, "instance mismatch")
+        if not cls.verify(pk, state.srs(k), proof, got):
+            raise RpcError(JSONRPC_INTERNAL, "self-verify failed")
+        return {
+            "proof": list(proof.data),
+            "instances": [[hex(v) for v in col] for col in got],
+        }
+
+    loop = asyncio.get_running_loop()
     if method == "genEvmProof_SyncStepCompressed":
         async with state.semaphore:
             p = params[0] if isinstance(params, list) else params
@@ -50,20 +98,16 @@ async def _handle(state: ProverState, method: str, params) -> dict:
                 state.spec,
             )
             instances = sync_step_instances(args)
-            raise RpcError(JSONRPC_INTERNAL, "proving unimplemented", {
-                "stage": "witness-ok",
-                "instances": [[hex(v) for v in col] for col in instances],
-            })
+            return await loop.run_in_executor(
+                None, prove, "step", args, instances)
     if method == "genEvmProof_CommitteeUpdateCompressed":
         async with state.semaphore:
             p = params[0] if isinstance(params, list) else params
             args = rotation_args_from_update(
                 p["light_client_update"], state.spec)
             instances = committee_update_instances(args)
-            raise RpcError(JSONRPC_INTERNAL, "proving unimplemented", {
-                "stage": "witness-ok",
-                "instances": [[hex(v) for v in col] for col in instances],
-            })
+            return await loop.run_in_executor(
+                None, prove, "committee", args, instances)
     raise RpcError(JSONRPC_METHOD_NOT_FOUND, f"unknown method {method}")
 
 
@@ -120,6 +164,8 @@ async def _serve(state: ProverState, host: str, port: int):
 
 
 def run_rpc(port: int = 3000, concurrency: int = 1,
-            spec_name: str = "testnet", host: str = "127.0.0.1"):
-    state = ProverState(BY_NAME[spec_name], concurrency)
+            spec_name: str = "testnet", host: str = "127.0.0.1",
+            k_step: int = 20, k_committee: int = 20):
+    state = ProverState(BY_NAME[spec_name], concurrency,
+                        k_step=k_step, k_committee=k_committee)
     asyncio.run(_serve(state, host, port))
