@@ -424,9 +424,12 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                  advice_evals: List[List[int]],
                  instances: List[List[int]],
                  seed: bytes | None = None,
-                 scheme: str = "shplonk") -> Proof:
+                 scheme: str = "shplonk",
+                 transcript: str = "blake2b") -> Proof:
     """seed=None (default) sources blinding from the OS CSPRNG (halo2's
-    OsRng); pass an explicit seed only for deterministic test vectors."""
+    OsRng); pass an explicit seed only for deterministic test vectors.
+    transcript: "blake2b" (native) or "keccak" (EVM flavor, the
+    gen_evm_proof_shplonk analog)."""
     if seed is None:
         seed = os.urandom(32)
     cs = pk.vk.cs
@@ -436,7 +439,9 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     n_blind = n - usable - 1
 
     tm = _PhaseTimer()
-    t = Blake2bTranscript()
+    from .transcript import KeccakTranscript
+    t = (KeccakTranscript if transcript == "keccak"
+         else Blake2bTranscript)()
     for col_vals in instances:
         for v in col_vals:
             t.common_scalar(v)

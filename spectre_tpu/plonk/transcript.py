@@ -122,13 +122,15 @@ class Blake2bTranscript:
 
 
 class KeccakTranscript(Blake2bTranscript):
-    """EVM-flavor transcript (snark-verifier style): Keccak-256 state.
+    """EVM-flavor transcript (snark-verifier ChallengeEvm style):
+    Keccak-256 state, BE framing, uncompressed points.
 
-    Points/scalars are absorbed as raw bytes into a running buffer; each
-    challenge hashes the buffer and reseeds it with the digest. Used by the
-    aggregation/EVM path; byte-parity against snark-verifier's
-    ChallengeEvm is pinned when the Solidity verifier generator lands
-    (SURVEY.md §7 hard part #4).
+    Points/scalars are absorbed as raw BE bytes into a running buffer; each
+    challenge hashes the buffer and reseeds it with the digest. The proof
+    framing (64-byte uncompressed points, 32-byte BE scalars) is exactly
+    what the generated EVM verifier (evm/verifier_gen.py) calldataloads —
+    byte-parity is pinned by executing generated verifiers over real proofs
+    in the EVM interpreter (tests/test_evm_verifier.py).
     """
 
     def __init__(self, proof: bytes | None = None):
@@ -157,3 +159,46 @@ class KeccakTranscript(Blake2bTranscript):
         digest = keccak256(bytes(self.absorbed))
         self.absorbed = bytearray(digest)
         return int.from_bytes(digest, "big") % FR
+
+    # EVM proof framing: points as uncompressed (x ‖ y) 32-byte BE words,
+    # scalars as 32-byte BE — what the generated verifier calldataloads.
+    def write_point(self, pt):
+        self.common_point(pt)
+        if pt is None:
+            self.buf += b"\x00" * 64
+        else:
+            self.buf += int(pt[0]).to_bytes(32, "big")
+            self.buf += int(pt[1]).to_bytes(32, "big")
+
+    def write_scalar(self, v: int):
+        self.common_scalar(v)
+        self.buf += int(v % FR).to_bytes(32, "big")
+
+    def read_point(self):
+        b = bytes(self.read_view[self.read_off:self.read_off + 64])
+        if len(b) < 64:
+            raise ProofError("truncated proof (point)")
+        self.read_off += 64
+        x = int.from_bytes(b[:32], "big")
+        y = int.from_bytes(b[32:], "big")
+        if x >= FQ or y >= FQ:
+            raise ProofError("point coordinate not canonical")
+        if x == 0 and y == 0:
+            pt = None
+        else:
+            if (y * y - (x * x % FQ * x + 3)) % FQ != 0:
+                raise ProofError("point not on curve")
+            pt = (x, y)
+        self.common_point(pt)
+        return pt
+
+    def read_scalar(self) -> int:
+        b = bytes(self.read_view[self.read_off:self.read_off + 32])
+        if len(b) < 32:
+            raise ProofError("truncated proof (scalar)")
+        self.read_off += 32
+        v = int.from_bytes(b, "big")
+        if v >= FR:
+            raise ProofError("scalar not canonical")
+        self.common_scalar(v)
+        return v

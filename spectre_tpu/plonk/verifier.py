@@ -19,25 +19,30 @@ from .prover import _cs_degree, Proof
 
 def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
                  instances: List[List[int]], trapdoor: bool = False,
-                 scheme: str = "shplonk") -> bool:
+                 scheme: str = "shplonk",
+                 transcript: str = "blake2b") -> bool:
     """Verify a proof. trapdoor=True uses the pairing-free test-SRS check
-    (requires srs.tau; test-only; GWC scheme only)."""
+    (requires srs.tau; test-only; GWC scheme only). transcript must match
+    the prover's ("blake2b" native / "keccak" EVM flavor)."""
     try:
-        return _verify_proof(vk, srs, proof, instances, trapdoor, scheme)
+        return _verify_proof(vk, srs, proof, instances, trapdoor, scheme,
+                             transcript)
     except ProofError:
         return False
 
 
 def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
                   instances: List[List[int]], trapdoor: bool,
-                  scheme: str) -> bool:
+                  scheme: str, transcript: str = "blake2b") -> bool:
     cs = vk.cs
     dom = vk.domain
     n = vk.n
     usable = cs.usable_rows(n)
     curve = H.bn254_g1
 
-    t = Blake2bTranscript(proof.data)
+    from .transcript import KeccakTranscript
+    t = (KeccakTranscript if transcript == "keccak"
+         else Blake2bTranscript)(proof.data)
     for col_vals in instances:
         for v in col_vals:
             t.common_scalar(v)
