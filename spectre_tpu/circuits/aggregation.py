@@ -1,0 +1,502 @@
+"""Aggregation circuit — in-circuit SHPLONK verification of an inner
+snark (the snark-verifier AggregationCircuit capability, consumed by the
+reference at aggregation_circuit.rs:77-124).
+
+Design (the tpu rebuild's compression stage):
+
+* the inner proof is produced with the **Poseidon transcript**
+  (plonk/transcript.py PoseidonTranscript) so challenge derivation costs
+  ~10 sponge permutations in-circuit instead of byte hashing — the same
+  reason snark-verifier proves inner snarks with PoseidonTranscript
+  (gen_snark_shplonk, util/circuit.rs:163-180);
+* the scalar half of verification (transcript replay, claimed evals, gate
+  algebra, vanishing/permutation/lookup identities, SHPLONK barycentrics)
+  runs in NATIVE Fr arithmetic on builder cells — inner and outer circuits
+  share the BN254 scalar field, so only the commitment MSM is non-native;
+* the commitment MSM runs over the generic EccChip with a 3x88-bit CRT
+  FpChip for BN254 Fq; every proof point is witnessed as (x, y), range
+  checked and curve-checked, and bound into the sponge via its
+  (native residue, low limb) CRT pair;
+* the result is the KZG accumulator pair (lhs, rhs) with
+  e(lhs,[1]_2)·e(rhs,[tau]_2)==1 iff the inner proof verifies; its 12
+  88-bit limbs are exposed as the first 12 public inputs (the reference's
+  accumulator layout — rpc.rs:106 reads the poseidon commitment at
+  instance index 12, after the 12 accumulator limbs), followed by the
+  propagated inner instances (expose_previous_instances analog).
+
+Incomplete-addition caveat: the MSM uses affine add/double with a fixed
+offset point; exceptional equal-point cases require predicting Fiat-Shamir
+challenges, the same argument halo2-ecc's verifier MSM relies on.
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from ..fields.params import BN254_FR as FR, BN254_FQ as FQ
+from ..fields.host import inv_mod
+from ..curves import host as H
+from ..plonk.keygen import VerifyingKey, DELTA
+from ..plonk.prover import Proof, _cs_degree, shplonk_partition
+from ..plonk.protocol import column_queries
+from ..plonk.expression import Expr, Const, ColumnRef, Sum, Prod, Scaled
+from ..plonk.transcript import PoseidonTranscript, AGG_LIMB_BITS, AGG_N_LIMBS
+from .builder import CircuitBuilder, Context, AssignedValue
+from .range_chip import RangeChip
+from .bigint import FpChip
+from .ecc import EccChip, EcPoint
+from .poseidon_gadget import PoseidonSpongeGadget
+
+# fixed MSM offset point (public constant; see incomplete-addition caveat)
+_OFF_SCALAR = int.from_bytes(
+    hashlib.sha256(b"spectre-tpu-aggregation-offset").digest(), "big") % FR
+OFFSET_POINT = H.bn254_g1.mul(H.bn254_g1.gen, _OFF_SCALAR)
+
+
+@dataclass
+class WitPoint:
+    """Witnessed proof point + its non-identity indicator cell."""
+    P: "EcPoint"
+    not_inf: AssignedValue
+
+
+def _limbs_of(v: int) -> List[int]:
+    m = (1 << AGG_LIMB_BITS) - 1
+    return [(int(v) >> (AGG_LIMB_BITS * i)) & m for i in range(AGG_N_LIMBS)]
+
+
+class InCircuitVerifier:
+    """Mirrors plonk/verifier.py build_claims + shplonk_accumulator with
+    circuit cells. The host PoseidonTranscript walks the proof bytes; the
+    in-circuit sponge recomputes every challenge from absorbed cells."""
+
+    def __init__(self, builder: CircuitBuilder, range_chip: RangeChip,
+                 vk: VerifyingKey):
+        self.b = builder
+        self.ctx = builder.main()
+        self.vk = vk
+        self.fq = FpChip(builder, range_chip, FQ,
+                         limb_bits=AGG_LIMB_BITS, n_limbs=AGG_N_LIMBS)
+        self.ecc = EccChip(self.fq, 3)
+
+    # ---- transcript mirror ----
+    def _read_point(self) -> "WitPoint":
+        """Witness a proof point. Identity is encoded (0, 0) — matched by
+        a limb-wise zero flag; the curve check runs on a generator
+        substitute and the MSM zeroes the scalar instead."""
+        pt = self.t.read_point()
+        x, y = (0, 0) if pt is None else pt
+        P = self.ecc.load_point((x, y))
+        self.sp.update([P.x.native, P.x.limbs[0],
+                        P.y.native, P.y.limbs[0]])
+        ctx = self.ctx
+        flag = None
+        for limb in P.x.limbs + P.y.limbs:
+            z = ctx.is_zero(limb)
+            flag = z if flag is None else ctx.mul(flag, z)
+        not_inf = ctx.sub(ctx.load_constant(1), flag)
+        Pc = self.ecc.select(flag, self.ecc.const_point(H.bn254_g1.gen), P)
+        self.ecc.assert_on_curve(Pc)
+        return WitPoint(P, not_inf)
+
+    def _read_scalar(self) -> AssignedValue:
+        v = self.t.read_scalar()
+        cell = self.ctx.assign(v)
+        self.sp.update([cell])
+        return cell
+
+    def _squeeze(self) -> AssignedValue:
+        want = self.t.squeeze_challenge()
+        cell = self.sp.squeeze()
+        assert int(cell.value) % FR == want, "sponge gadget drift"
+        return cell
+
+    # ---- Fr helpers on cells ----
+    def _inv(self, a: AssignedValue) -> AssignedValue:
+        w = self.ctx.assign(inv_mod(int(a.value) % FR, FR))
+        p = self.ctx.mul(a, w)
+        self.ctx.constrain_constant(p, 1)
+        return w
+
+    def _prod(self, cells: List[AssignedValue]) -> AssignedValue:
+        acc = cells[0]
+        for c in cells[1:]:
+            acc = self.ctx.mul(acc, c)
+        return acc
+
+    def _eval_expr(self, e: Expr, evals) -> AssignedValue:
+        ctx = self.ctx
+        if isinstance(e, Const):
+            return ctx.load_constant(e.value % FR)
+        if isinstance(e, ColumnRef):
+            return evals[(e.index, e.rotation)]
+        if isinstance(e, Sum):
+            acc = self._eval_expr(e.terms[0], evals)
+            for t_ in e.terms[1:]:
+                acc = ctx.add(acc, self._eval_expr(t_, evals))
+            return acc
+        if isinstance(e, Prod):
+            acc = self._eval_expr(e.factors[0], evals)
+            for f_ in e.factors[1:]:
+                acc = ctx.mul(acc, self._eval_expr(f_, evals))
+            return acc
+        if isinstance(e, Scaled):
+            return ctx.mul_const(self._eval_expr(e.inner, evals),
+                                 e.scalar % FR)
+        raise TypeError(f"unsupported expr {e!r}")
+
+    # ---- variable-base MSM ----
+    def _msm(self, terms: List[Tuple[object, AssignedValue]]) -> EcPoint:
+        """Σ scalar_i · P_i. P: WitPoint, EcPoint, or host (x, y)
+        constant. WitPoint scalars are masked by not_inf (identity points
+        contribute nothing). Each partial runs offset by OFFSET_POINT; the
+        total offset is removed once at the end."""
+        ctx, ecc = self.ctx, self.ecc
+        acc: Optional[EcPoint] = None
+        n_bits = 254
+        for (obj, s) in terms:
+            if isinstance(obj, WitPoint):
+                P = obj.P
+                s = ctx.mul(s, obj.not_inf)
+            elif isinstance(obj, EcPoint):
+                P = obj
+            else:
+                P = ecc.const_point(obj)
+            bits = ctx.num_to_bits(s, n_bits)
+            a = ecc.const_point(OFFSET_POINT)
+            for bit in reversed(bits):
+                a = ecc.double(a)
+                a = ecc.add_conditional(a, P, bit)
+            acc = a if acc is None else ecc.add_unequal(acc, a)
+        # BN254 G1 has prime order FR (cofactor 1)
+        corr = H.bn254_g1.mul(
+            OFFSET_POINT, (-(len(terms) << n_bits)) % FR)
+        return ecc.add_unequal(acc, ecc.const_point(corr))
+
+    # ---- the verifier ----
+    def run(self, proof_data: bytes,
+            inst_cells: List[List[AssignedValue]]
+            ) -> Tuple[EcPoint, EcPoint]:
+        vk = self.vk
+        cs = vk.cs
+        dom = vk.domain
+        n = vk.n
+        usable = cs.usable_rows(n)
+        ctx = self.ctx
+
+        self.t = PoseidonTranscript(proof_data)
+        self.sp = PoseidonSpongeGadget(ctx)
+
+        for col_cells, col_vals in zip(
+                inst_cells, [[int(c.value) for c in col]
+                             for col in inst_cells]):
+            for cell, v in zip(col_cells, col_vals):
+                self.t.common_scalar(v)
+                self.sp.update([cell])
+
+        advice_comms = [self._read_point() for _ in cs.advice]
+        theta = self._squeeze()
+        lookup_perm_comms = [(self._read_point(), self._read_point())
+                             for _ in cs.lookups]
+        beta = self._squeeze()
+        gamma_p = self._squeeze()
+
+        d = _cs_degree(cs)
+        chunk_len = d - 2
+        perm_cols = cs.permutation_columns
+        chunks = [perm_cols[i:i + chunk_len]
+                  for i in range(0, len(perm_cols), chunk_len)]
+        z_comms = [self._read_point() for _ in chunks]
+        lookup_z_comms = [self._read_point() for _ in cs.lookups]
+        rand_comm = self._read_point()
+        y = self._squeeze()
+
+        ext_k = vk.k + max(1, (d - 1).bit_length())
+        f_ext = (1 << ext_k) // n
+        h_comms = [self._read_point() for _ in range(f_ext)]
+        x = self._squeeze()
+
+        # ---- point cells z_e = x * omega^e ----
+        queries = column_queries(cs)
+        kind_of = {col.index: col.kind for col in cs.columns}
+        adv_idx = {col.index: i for i, col in enumerate(cs.advice)}
+        fix_idx = {col.index: i for i, col in enumerate(cs.fixed)}
+        inst_idx = {col.index: i for i, col in enumerate(cs.instance)}
+
+        exps: List[int] = []
+
+        def sym(e_: int) -> int:
+            e_ %= n
+            if e_ not in exps:
+                exps.append(e_)
+            return e_
+
+        for (_g, rot) in queries:
+            sym(rot)
+        sym(0), sym(1), sym(n - 1), sym(usable)
+        zcell = {e_: ctx.mul_const(x, pow(dom.omega, e_, FR))
+                 for e_ in exps}
+
+        xn = x
+        for _ in range(vk.k):
+            xn = ctx.mul(xn, xn)
+        zh = ctx.add_const(xn, FR - 1)
+        zh_inv = self._inv(zh)
+        n_inv = inv_mod(n, FR)
+
+        def lagrange(i: int, at_cell: AssignedValue) -> AssignedValue:
+            w = pow(dom.omega, i % n, FR)
+            den = ctx.add_const(at_cell, FR - w)
+            return ctx.mul_const(self._prod([self._inv(den), zh]),
+                                 w * n_inv % FR)
+
+        # ---- instance column evals ----
+        evals: Dict[Tuple[int, int], AssignedValue] = {}
+        for (gcol, rot) in queries:
+            if kind_of[gcol] != "instance":
+                continue
+            cells = inst_cells[inst_idx[gcol]]
+            z = zcell[rot % n]
+            acc = ctx.load_constant(0)
+            for i, c in enumerate(cells):
+                acc = ctx.add(acc, ctx.mul(lagrange(i, z), c))
+            evals[(gcol, rot)] = acc
+
+        # ---- claimed evals + claims ----
+        claims: List[tuple] = []  # (key, obj, e_sym, val_cell)
+        for (gcol, rot) in queries:
+            if kind_of[gcol] == "instance":
+                continue
+            v = self._read_scalar()
+            evals[(gcol, rot)] = v
+            obj = (advice_comms[adv_idx[gcol]]
+                   if kind_of[gcol] == "advice"
+                   else vk.fixed_commitments[fix_idx[gcol]])
+            claims.append((("col", gcol), obj, sym(rot), v))
+
+        rand_eval = self._read_scalar()
+        claims.append((("rand",), rand_comm, sym(0), rand_eval))
+
+        sigma_evals = []
+        for gi in range(len(perm_cols)):
+            v = self._read_scalar()
+            sigma_evals.append(v)
+            claims.append((("sig", gi), vk.sigma_commitments[gi],
+                           sym(0), v))
+
+        z_at_x, z_at_next = [], []
+        for c_idx in range(len(chunks)):
+            vx = self._read_scalar()
+            vn = self._read_scalar()
+            z_at_x.append(vx)
+            z_at_next.append(vn)
+            claims.append((("z", c_idx), z_comms[c_idx], sym(0), vx))
+            claims.append((("z", c_idx), z_comms[c_idx], sym(1), vn))
+        z_prev_last = []
+        for c_idx in range(1, len(chunks)):
+            v = self._read_scalar()
+            z_prev_last.append(v)
+            claims.append((("z", c_idx - 1), z_comms[c_idx - 1],
+                           sym(usable), v))
+
+        lookup_evals = []
+        for li in range(len(cs.lookups)):
+            zx = self._read_scalar()
+            zn = self._read_scalar()
+            apx = self._read_scalar()
+            app = self._read_scalar()
+            spx = self._read_scalar()
+            lookup_evals.append((zx, zn, apx, app, spx))
+            ca, cst = lookup_perm_comms[li]
+            claims.append((("lz", li), lookup_z_comms[li], sym(0), zx))
+            claims.append((("lz", li), lookup_z_comms[li], sym(1), zn))
+            claims.append((("la", li), ca, sym(0), apx))
+            claims.append((("la", li), ca, sym(n - 1), app))
+            claims.append((("ls", li), cst, sym(0), spx))
+
+        # ---- fold constraints at x ----
+        l0 = lagrange(0, x)
+        llast = lagrange(usable, x)
+        lblind = ctx.load_constant(0)
+        for i in range(usable + 1, n):
+            lblind = ctx.add(lblind, lagrange(i, x))
+        lactive = ctx.add_const(ctx.neg(ctx.add(llast, lblind)), 1)
+
+        folded = ctx.load_constant(0)
+
+        def fold(v: AssignedValue):
+            nonlocal folded
+            folded = ctx.add(ctx.mul(folded, y), v)
+
+        for gate in cs.gates:
+            for p in gate.polys:
+                fold(self._eval_expr(p, evals))
+
+        if chunks:
+            one = ctx.load_constant(1)
+            fold(ctx.mul(l0, ctx.sub(one, z_at_x[0])))
+            zl = z_at_x[-1]
+            fold(ctx.mul(llast, ctx.sub(ctx.mul(zl, zl), zl)))
+            for c in range(1, len(chunks)):
+                fold(ctx.mul(l0, ctx.sub(z_at_x[c], z_prev_last[c - 1])))
+            for c_idx, chunk in enumerate(chunks):
+                base = c_idx * chunk_len
+                left = z_at_next[c_idx]
+                right = z_at_x[c_idx]
+                for off, col in enumerate(chunk):
+                    gi = base + off
+                    a_ = evals[(col, 0)]
+                    left = ctx.mul(left, ctx.add(
+                        ctx.add(a_, ctx.mul(beta, sigma_evals[gi])),
+                        gamma_p))
+                    right = ctx.mul(right, ctx.add(
+                        ctx.add(a_, ctx.mul(
+                            beta, ctx.mul_const(x, pow(DELTA, gi, FR)))),
+                        gamma_p))
+                fold(ctx.mul(ctx.sub(left, right), lactive))
+
+        for li, lk in enumerate(cs.lookups):
+            zx, zn, apx, app, spx = lookup_evals[li]
+
+            def horner(exprs):
+                acc = ctx.load_constant(0)
+                for e_ in exprs:
+                    acc = ctx.add(ctx.mul(acc, theta),
+                                  self._eval_expr(e_, evals))
+                return acc
+
+            one = ctx.load_constant(1)
+            fold(ctx.mul(l0, ctx.sub(one, zx)))
+            fold(ctx.mul(llast, ctx.sub(ctx.mul(zx, zx), zx)))
+            a_c = horner(lk.inputs)
+            s_c = horner(lk.tables)
+            lhs_t = ctx.mul(ctx.mul(zn, ctx.add(apx, beta)),
+                            ctx.add(spx, gamma_p))
+            rhs_t = ctx.mul(ctx.mul(zx, ctx.add(a_c, beta)),
+                            ctx.add(s_c, gamma_p))
+            fold(ctx.mul(lactive, ctx.sub(lhs_t, rhs_t)))
+            fold(ctx.mul(l0, ctx.sub(apx, spx)))
+            fold(ctx.mul(lactive, ctx.mul(ctx.sub(apx, spx),
+                                          ctx.sub(apx, app))))
+
+        expected_h = ctx.mul(folded, zh_inv)
+
+        # H is one logical poly; its commitment folds into the MSM with
+        # per-h_i scalars coef_H * xn^i
+        claims.append((("H",), ("hlist", h_comms), sym(0), expected_h))
+
+        # ================= SHPLONK reduction =================
+        gamma = self._squeeze()
+        by_poly, sets, T = shplonk_partition(claims)
+
+        npoly = max(info["idx"] for info in by_poly.values()) + 1
+        gpow = [ctx.load_constant(1)]
+        for _ in range(1, npoly):
+            gpow.append(ctx.mul(gpow[-1], gamma))
+
+        Hc = self._read_point()
+        u = self._squeeze()
+
+        udiff = {e_: ctx.sub(u, zcell[e_]) for e_ in T}
+
+        # per-set Z_{T\S}(u), folded vals, r_S(u)
+        msm_terms: List[Tuple[object, AssignedValue]] = []
+        const_acc = ctx.load_constant(0)
+        for S, keys in sets.items():
+            out = [udiff[e_] for e_ in T if e_ not in S]
+            zts = self._prod(out) if out else ctx.load_constant(1)
+            vals = {e_: ctx.load_constant(0) for e_ in S}
+            for key in keys:
+                info = by_poly[key]
+                gp = gpow[info["idx"]]
+                coef = ctx.mul(zts, gp)
+                obj = info["obj"]
+                if isinstance(obj, tuple) and obj and obj[0] == "hlist":
+                    xpow = ctx.load_constant(1)
+                    for i, hpt in enumerate(obj[1]):
+                        sc = coef if i == 0 else ctx.mul(coef, xpow)
+                        msm_terms.append((hpt, sc))
+                        if i + 1 < len(obj[1]):
+                            xpow = ctx.mul(xpow, xn)
+                elif obj is None:
+                    # identity commitment (all-zero fixed column):
+                    # contributes nothing to the MSM
+                    pass
+                else:
+                    msm_terms.append((obj, coef))
+                for e_ in S:
+                    vals[e_] = ctx.add(vals[e_],
+                                       ctx.mul(gp, info["pts"][e_]))
+            # r_S(u) barycentric over the (distinct) points of S
+            r_u = ctx.load_constant(0)
+            for zi in S:
+                term = vals[zi]
+                denom = None
+                for zj in S:
+                    if zj == zi:
+                        continue
+                    term = ctx.mul(term, udiff[zj])
+                    dd = ctx.sub(zcell[zi], zcell[zj])
+                    denom = dd if denom is None else ctx.mul(denom, dd)
+                if denom is not None:
+                    term = ctx.mul(term, self._inv(denom))
+                r_u = ctx.add(r_u, term)
+            const_acc = ctx.add(const_acc, ctx.mul(zts, r_u))
+
+        zt_u = self._prod([udiff[e_] for e_ in T])
+
+        W = self._read_point()
+
+        msm_terms.append(((1, 2), ctx.neg(const_acc)))      # -const*G
+        msm_terms.append((Hc, ctx.neg(zt_u)))               # -Z_T(u)*Hc
+        msm_terms.append((W, u))                            # +u*W
+
+        lhs = self._msm(msm_terms)
+        rhs = self.ecc.negate(W.P)
+        # proper reduced coordinates for exposure
+        lhs = EcPoint(self.fq.reduce(lhs.x), self.fq.reduce(lhs.y))
+        rhs = EcPoint(self.fq.reduce(rhs.x), self.fq.reduce(rhs.y))
+        return lhs, rhs
+
+
+@dataclass
+class AggregationWitness:
+    """Inner proof (Poseidon-transcript SHPLONK) + its instances."""
+    proof: bytes
+    instances: List[List[int]]
+
+
+def build_aggregation(vk_inner: VerifyingKey, witness: AggregationWitness,
+                      lookup_bits: int = 11) -> CircuitBuilder:
+    """Instances: [12 accumulator limbs ‖ flattened inner instances]."""
+    b = CircuitBuilder()
+    rc = RangeChip(b, lookup_bits)
+    ctx = b.main()
+    inst_cells = [ctx.assign_many([v % FR for v in col])
+                  for col in witness.instances]
+    icv = InCircuitVerifier(b, rc, vk_inner)
+    lhs, rhs = icv.run(witness.proof, inst_cells)
+    for coord in (lhs.x, lhs.y, rhs.x, rhs.y):
+        for limb in coord.limbs:
+            b.expose_public(limb)
+    for col in inst_cells:
+        for c in col:
+            b.expose_public(c)
+    return b
+
+
+ACC_INDICES = [(0, i) for i in range(12)]
+
+
+def aggregation_instances(vk_inner: VerifyingKey, proof_data: bytes,
+                          inner_instances: List[List[int]]) -> List[List[int]]:
+    """Native mirror of the aggregation circuit's public inputs."""
+    from ..plonk.verifier import build_claims, shplonk_accumulator
+    t, claims = build_claims(vk_inner, Proof(proof_data), inner_instances,
+                             transcript="poseidon")
+    lhs, rhs = shplonk_accumulator(t, claims)
+    acc = (_limbs_of(lhs[0]) + _limbs_of(lhs[1])
+           + _limbs_of(rhs[0]) + _limbs_of(rhs[1]))
+    flat = [v % FR for col in inner_instances for v in col]
+    return [acc + flat]

@@ -40,10 +40,11 @@ class _Gen:
     (2 consecutive slots)."""
 
     def __init__(self, vk: VerifyingKey, srs, inst_shape: List[int],
-                 tb: int):
+                 tb: int, acc_indices=None):
         self.vk = vk
         self.srs = srs
         self.inst_shape = inst_shape
+        self.acc_indices = acc_indices
         self.tb = tb                 # transcript region base
         self.a = Asm()
         self.n_slots = 0
@@ -210,7 +211,12 @@ class _Gen:
         self.absorb_stack_word()
         self.store(p + 1)
         self.cd_off += 64
-        # checks: x < q, y < q, (y^2 == x^3 + 3  OR  x==y==0)
+        self.curve_check(p)
+        return p
+
+    def curve_check(self, p: int, allow_identity: bool = True):
+        """checks: x < q, y < q, (y^2 == x^3 + 3  OR  x==y==0)."""
+        a = self.a
         self.load(p)
         a.push(FQ).op("SWAP1", "LT")     # x < q
         self.and_success()
@@ -231,12 +237,12 @@ class _Gen:
         a.push(3)
         a.push(FQ).op("SWAP2", "ADDMOD")
         a.op("EQ")                       # oncurve = (y2 == rhs)
-        self.load(p)
-        self.load(p + 1)
-        a.op("OR", "ISZERO")             # identity = ((x|y) == 0)
-        a.op("OR")                       # oncurve || identity
+        if allow_identity:
+            self.load(p)
+            self.load(p + 1)
+            a.op("OR", "ISZERO")         # identity = ((x|y) == 0)
+            a.op("OR")                   # oncurve || identity
         self.and_success()
-        return p
 
 
 def _emit_expr(g: _Gen, e: Expr, eval_slots: Dict[Tuple[int, int], int]):
@@ -265,12 +271,12 @@ def _emit_expr(g: _Gen, e: Expr, eval_slots: Dict[Tuple[int, int], int]):
 
 
 def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
-              tb: int) -> _Gen:
+              tb: int, acc_indices=None) -> _Gen:
     cs = vk.cs
     dom = vk.domain
     n = vk.n
     usable = cs.usable_rows(n)
-    g = _Gen(vk, srs, inst_shape, tb)
+    g = _Gen(vk, srs, inst_shape, tb, acc_indices)
     a = g.a
 
     # success := 1
@@ -814,6 +820,47 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
     negW = g.point_slot()
     g.ec_neg(negW, W)
 
+    # ---- fold an exposed KZG accumulator (aggregation circuits) ----
+    # instances carry 12 88-bit limbs (lhs.x, lhs.y, rhs.x, rhs.y); the
+    # pair is combined into this proof's own pairing check with a
+    # transcript-derived random factor (snark-verifier's accumulator
+    # folding shape).
+    if g.acc_indices:
+        flat_off = []
+        for (ci, ri) in g.acc_indices:
+            flat_off.append(32 * (sum(inst_shape[:ci]) + ri))
+        acc_pts = []
+        for pi in range(2):          # lhs, rhs
+            ps = g.point_slot()
+            for coord in range(2):   # x, y
+                offs = flat_off[6 * pi + 3 * coord:6 * pi + 3 * coord + 3]
+                a.push(0)
+                for li, o in enumerate(offs):
+                    a.push(o).op("CALLDATALOAD")
+                    # limb < 2^88 (top limb < 2^78 so the shift-compose
+                    # cannot wrap mod 2^256)
+                    a.op("DUP1")
+                    a.push(78 if li == 2 else 88).op("SHR", "ISZERO")
+                    g.and_success()
+                    a.push(88 * li).op("SHL", "ADD")
+                a.op("DUP1")
+                g.absorb_stack_word()
+                g.store(ps + coord)
+            g.curve_check(ps, allow_identity=False)
+            acc_pts.append(ps)
+        # absorb our own pair, derive the folding factor r
+        for s_ in (P1, negW):
+            for c_ in (0, 1):
+                g.load(s_ + c_)
+                g.absorb_stack_word()
+        r_fold = g.squeeze()
+        tmp_l = g.point_slot()
+        g.ec_mul(tmp_l, acc_pts[0], r_fold)
+        g.ec_add(P1, P1, tmp_l)
+        tmp_r = g.point_slot()
+        g.ec_mul(tmp_r, acc_pts[1], r_fold)
+        g.ec_add(negW, negW, tmp_r)
+
     # pairing input: (P1, g2) (negW, s_g2)
     g2 = srs.g2
     s_g2 = srs.s_g2
@@ -843,13 +890,17 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
     return g
 
 
-def gen_evm_verifier(vk: VerifyingKey, srs,
-                     inst_shape: List[int]) -> bytes:
+def gen_evm_verifier(vk: VerifyingKey, srs, inst_shape: List[int],
+                     accumulator_indices=None) -> bytes:
     """Generate the verifier program. inst_shape: rows per instance
-    column (the fixed public-input count the verifier is built for)."""
+    column (the fixed public-input count the verifier is built for).
+    accumulator_indices: 12 (col, row) positions of an exposed KZG
+    accumulator to fold into the final pairing (aggregation circuits)."""
     # pass 1: count slots to place the transcript region
-    g1 = _generate(vk, srs, inst_shape, tb=1 << 22)
+    g1 = _generate(vk, srs, inst_shape, tb=1 << 22,
+                   acc_indices=accumulator_indices)
     tb = SLOT_BASE + 32 * g1.n_slots
-    g2_ = _generate(vk, srs, inst_shape, tb=tb)
+    g2_ = _generate(vk, srs, inst_shape, tb=tb,
+                    acc_indices=accumulator_indices)
     assert g2_.n_slots == g1.n_slots
     return g2_.a.assemble()

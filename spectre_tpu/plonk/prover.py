@@ -439,9 +439,10 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     n_blind = n - usable - 1
 
     tm = _PhaseTimer()
-    from .transcript import KeccakTranscript
-    t = (KeccakTranscript if transcript == "keccak"
-         else Blake2bTranscript)()
+    from .transcript import KeccakTranscript, PoseidonTranscript
+    t = {"keccak": KeccakTranscript,
+         "poseidon": PoseidonTranscript,
+         "blake2b": Blake2bTranscript}[transcript]()
     for col_vals in instances:
         for v in col_vals:
             t.common_scalar(v)

@@ -202,3 +202,46 @@ class KeccakTranscript(Blake2bTranscript):
             raise ProofError("scalar not canonical")
         self.common_scalar(v)
         return v
+
+
+AGG_LIMB_BITS = 88      # aggregation-side non-native limb width
+AGG_N_LIMBS = 3
+
+
+class PoseidonTranscript(KeccakTranscript):
+    """Aggregation-flavor transcript (snark-verifier PoseidonTranscript
+    analog): challenges come from the native Poseidon duplex sponge so the
+    aggregation circuit can recompute them with ~10 permutations instead of
+    re-hashing byte streams in-circuit.
+
+    Absorb schedule (mirrored cell-for-cell by circuits/aggregation.py):
+      - scalar v: update([v])
+      - point (x, y): update([x mod r, x mod 2^88, y mod r, y mod 2^88]) —
+        the (native residue, low limb) CRT pair determines the coordinate
+        integer uniquely below 2^264, so the sponge binds the full witness
+        coordinates the circuit range-checks; identity absorbs four zeros
+      - challenge: sponge.squeeze()
+    Proof BYTE framing reuses the EVM layout (uncompressed BE points, BE
+    scalars) so witness parsing stays trivial on both sides.
+    """
+
+    def __init__(self, proof: bytes | None = None):
+        from ..hashes.poseidon import PoseidonNative
+        self.sponge = PoseidonNative()
+        self.buf = bytearray()
+        self.read_view = memoryview(bytes(proof)) if proof is not None else None
+        self.read_off = 0
+
+    def common_point(self, pt):
+        if pt is None:
+            self.sponge.update([0, 0, 0, 0])
+        else:
+            x, y = int(pt[0]), int(pt[1])
+            m = (1 << AGG_LIMB_BITS) - 1
+            self.sponge.update([x % FR, x & m, y % FR, y & m])
+
+    def common_scalar(self, v: int):
+        self.sponge.update([v % FR])
+
+    def squeeze_challenge(self) -> int:
+        return self.sponge.squeeze()

@@ -20,29 +20,62 @@ from .prover import _cs_degree, Proof
 def verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
                  instances: List[List[int]], trapdoor: bool = False,
                  scheme: str = "shplonk",
-                 transcript: str = "blake2b") -> bool:
+                 transcript: str = "blake2b",
+                 accumulator_indices=None) -> bool:
     """Verify a proof. trapdoor=True uses the pairing-free test-SRS check
     (requires srs.tau; test-only; GWC scheme only). transcript must match
-    the prover's ("blake2b" native / "keccak" EVM flavor)."""
+    the prover's ("blake2b" native / "keccak" EVM flavor / "poseidon"
+    aggregation flavor). accumulator_indices: [(col, row), ...] of the 12
+    KZG-accumulator limbs an aggregation circuit exposes (88-bit limbs,
+    lhs.x/lhs.y/rhs.x/rhs.y order) — the accumulated pair is folded into
+    this proof's own pairing check with verifier randomness."""
     try:
         return _verify_proof(vk, srs, proof, instances, trapdoor, scheme,
-                             transcript)
+                             transcript, accumulator_indices)
     except ProofError:
         return False
 
 
-def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
-                  instances: List[List[int]], trapdoor: bool,
-                  scheme: str, transcript: str = "blake2b") -> bool:
+def accumulator_from_instances(instances: List[List[int]],
+                               accumulator_indices) -> tuple:
+    """Reconstruct ((lhs, rhs)) G1 points from 12 exposed 88-bit limbs."""
+    from ..fields.params import BN254_FQ as FQ
+    vals = [instances[c][r] for (c, r) in accumulator_indices]
+    assert len(vals) == 12
+    coords = []
+    for i in range(4):
+        limbs = vals[3 * i:3 * i + 3]
+        coords.append(sum(int(l) << (88 * j) for j, l in enumerate(limbs)))
+    for c in coords:
+        if c >= FQ:
+            raise ProofError("accumulator limb out of field range")
+    lhs = (coords[0], coords[1])
+    rhs = (coords[2], coords[3])
+    curve = H.bn254_g1
+    for (x, y) in (lhs, rhs):
+        if (y * y - (x * x % FQ * x + 3)) % FQ != 0:
+            raise ProofError("accumulator point not on curve")
+    return lhs, rhs
+
+
+def build_claims(vk: VerifyingKey, proof: Proof,
+                 instances: List[List[int]],
+                 transcript: str = "blake2b"):
+    """Run the scalar half of verification: replay the transcript, read the
+    claimed evals, recompute the folded constraint value, and return
+    (t, claims) where t is the transcript positioned at the multiopen
+    phase and claims = [(key, commitment, point, value)]. Shared by
+    verify_proof and the aggregation circuit's witness path."""
     cs = vk.cs
     dom = vk.domain
     n = vk.n
     usable = cs.usable_rows(n)
     curve = H.bn254_g1
 
-    from .transcript import KeccakTranscript
-    t = (KeccakTranscript if transcript == "keccak"
-         else Blake2bTranscript)(proof.data)
+    from .transcript import KeccakTranscript, PoseidonTranscript
+    t = {"keccak": KeccakTranscript,
+         "poseidon": PoseidonTranscript,
+         "blake2b": Blake2bTranscript}[transcript](proof.data)
     for col_vals in instances:
         for v in col_vals:
             t.common_scalar(v)
@@ -195,9 +228,20 @@ def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
         h_comm = curve.add(h_comm, curve.mul(cm, mult))
         mult = mult * xn % FR
     claims.append((("H",), h_comm, x, expected_h))
+    return t, claims
 
+
+def _verify_proof(vk: VerifyingKey, srs: kzg.SrsKZG, proof: Proof,
+                  instances: List[List[int]], trapdoor: bool,
+                  scheme: str, transcript: str = "blake2b",
+                  accumulator_indices=None) -> bool:
+    t, claims = build_claims(vk, proof, instances, transcript)
     if scheme == "shplonk":
-        return _check_shplonk(t, srs, claims)
+        extra = ()
+        if accumulator_indices:
+            extra = (accumulator_from_instances(instances,
+                                                accumulator_indices),)
+        return _check_shplonk(t, srs, claims, extra)
     return _check_gwc(t, srs, claims, trapdoor)
 
 
@@ -225,9 +269,13 @@ def _check_gwc(t, srs, claims, trapdoor: bool) -> bool:
     return kzg.verify_open_batch(srs, open_claims)
 
 
-def _check_shplonk(t, srs, claims) -> bool:
-    r"""BDFG23 check: E = sum_S Z_{T\S}(u)(C_S - [r_S(u)]G) - Z_T(u)H
-    must open to 0 at u with witness W — one pairing product."""
+def shplonk_accumulator(t, claims):
+    r"""BDFG23 reduction: E = sum_S Z_{T\S}(u)(C_S - [r_S(u)]G) - Z_T(u)H
+    must open to 0 at u with witness W. Returns the KZG accumulator pair
+    (lhs, rhs) = (E + u·W, -W) satisfying
+        e(lhs, [1]_2) · e(rhs, [tau]_2) == 1   iff the proof verifies.
+    Shared by the final pairing check, the aggregation circuit's witness
+    path, and the EVM codegen's structure."""
     from .prover import shplonk_partition, lagrange_interp, eval_host
     curve = H.bn254_g1
     gamma = t.squeeze_challenge()
@@ -259,4 +307,17 @@ def _check_shplonk(t, srs, claims) -> bool:
     E = curve.add(E, curve.neg(curve.mul(curve.gen, const_acc)))
     E = curve.add(E, curve.neg(curve.mul(Hc, zt_u)))
     W = t.read_point()
-    return kzg.verify_open_batch(srs, [(E, u, 0, W)])
+    lhs = curve.add(E, curve.mul(W, u))
+    return lhs, curve.neg(W)
+
+
+def _check_shplonk(t, srs, claims, extra_accumulators=()) -> bool:
+    from ..curves.pairing import bn254
+    import secrets
+    lhs, rhs = shplonk_accumulator(t, claims)
+    curve = H.bn254_g1
+    for (al, ar) in extra_accumulators:
+        r = secrets.randbelow(FR - 1) + 1
+        lhs = curve.add(lhs, curve.mul(al, r))
+        rhs = curve.add(rhs, curve.mul(ar, r))
+    return bn254().pairing_check([(lhs, srs.g2), (rhs, srs.s_g2)])
