@@ -31,6 +31,11 @@ import os as _os
 
 def _enable_compile_cache():
     try:
+        # skip on the CPU backend: XLA:CPU AOT caches pin host ISA features
+        # and can SIGILL when loaded on a different machine; CPU compiles
+        # are cheap anyway. (TPU/axon compiles are the expensive ones.)
+        if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            return
         import jax
         cache_dir = _os.environ.get(
             "SPECTRE_JAX_CACHE", _os.path.expanduser("~/.cache/spectre_jax"))

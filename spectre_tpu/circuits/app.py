@@ -94,3 +94,65 @@ class AppCircuit:
     def verify(cls, pk: ProvingKey, srs: kzg.SrsKZG, proof: Proof,
                instances) -> bool:
         return verify_proof(pk.vk, srs, proof, instances)
+
+    # ---- snark / EVM output stages (util/circuit.rs:163-271 analogs) ----
+    @classmethod
+    def gen_snark(cls, pk: ProvingKey, spec, srs: kzg.SrsKZG,
+                  witness) -> tuple:
+        """Inner snark for aggregation: Poseidon-transcript proof
+        (gen_snark_shplonk analog). Returns (proof, instances)."""
+        builder = cls.build(witness, spec)
+        cs, fixed, advice, instances = builder.compile(pk.vk.k)
+        proof = create_proof(pk, srs, advice, instances,
+                             transcript="poseidon")
+        return proof, instances
+
+    @classmethod
+    def gen_evm_proof(cls, pk: ProvingKey, spec, srs: kzg.SrsKZG,
+                      witness) -> tuple:
+        """Keccak(EVM)-transcript proof (gen_evm_proof_shplonk analog)."""
+        builder = cls.build(witness, spec)
+        cs, fixed, advice, instances = builder.compile(pk.vk.k)
+        proof = create_proof(pk, srs, advice, instances,
+                             transcript="keccak")
+        return proof, instances
+
+    @classmethod
+    def gen_evm_verifier(cls, pk: ProvingKey, srs: kzg.SrsKZG,
+                         inst_shape, path: Optional[str] = None,
+                         accumulator_indices=None) -> bytes:
+        """EVM verifier bytecode for this circuit's VK
+        (gen_evm_verifier_shplonk analog, util/circuit.rs:182-194)."""
+        from ..evm.verifier_gen import gen_evm_verifier
+        code = gen_evm_verifier(pk.vk, srs, list(inst_shape),
+                                accumulator_indices=accumulator_indices)
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(code)
+        return code
+
+    @staticmethod
+    def write_calldata(instances, proof: Proof,
+                       path: Optional[str] = None) -> bytes:
+        """Instances-then-proof calldata (write_calldata_generic analog,
+        util/circuit.rs:255-271)."""
+        from ..evm.calldata import encode_calldata
+        data = encode_calldata(instances, proof.data)
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as f:
+                f.write("0x" + data.hex())
+        return data
+
+    @classmethod
+    def evm_verify(cls, verifier_code: bytes, instances,
+                   proof: Proof) -> tuple:
+        """Run the generated verifier over calldata in the in-process EVM
+        (snark-verifier evm_verify analog). Returns (ok, gas_used)."""
+        from ..evm.calldata import encode_calldata
+        from ..evm.interp import execute
+        data = encode_calldata(instances, proof.data)
+        res = execute(verifier_code, data)
+        return (res.success and res.returndata ==
+                (1).to_bytes(32, "big"), res.gas_used)

@@ -87,9 +87,40 @@ class ProvingKey:
             self._dev[key] = V.intt_dev(self.dev_sigma(gi), self.vk.k)
         return self._dev[key]
 
+    def prefill_fixed(self):
+        """Batch-upload all fixed columns in one transfer."""
+        from ..poly import fr_vec as V
+        cols = self.vk.cs.fixed
+        if not cols or ("fixed", cols[-1].index) in self._dev:
+            return
+        up = V.unstack(V.upload_ints_many(self.fixed_evals, self.vk.n))
+        for col, d in zip(cols, up):
+            self._dev[("fixed", col.index)] = d
+
+    def prefill_sigmas(self):
+        """Batch-build all sigma eval + coefficient columns in a handful of
+        device calls (the prover calls this once; per-gi getters then hit
+        the cache)."""
+        from ..poly import fr_vec as V
+        m = len(self.mapping)
+        if m == 0 or ("sigma_c", m - 1) in self._dev:
+            return
+        sigs = _sigma_dev_many(self.vk.domain, self.mapping, m)
+        coeffs = V.intt_dev_many(sigs, self.vk.k)
+        for gi, (s, c) in enumerate(zip(V.unstack(sigs),
+                                        V.unstack(coeffs))):
+            self._dev[("sigma", gi)] = s
+            self._dev[("sigma_c", gi)] = c
+
 
 def _sigma_dev(dom: Domain, map_i: np.ndarray, m: int):
     """sigma evals for one permutation column: delta^{ti} * omega^{tj}."""
+    return _sigma_dev_many(dom, map_i[None], m)[0]
+
+
+def _sigma_dev_many(dom: Domain, maps: np.ndarray, m: int):
+    """(C, n, 2) successor mappings -> (C, n, NL) sigma eval columns in one
+    device call."""
     import jax
     import jax.numpy as jnp
     from ..poly import fr_vec as V
@@ -100,7 +131,7 @@ def _sigma_dev(dom: Domain, map_i: np.ndarray, m: int):
     def f(ti, tj, deltas, omegas):
         return V.ops.mont_mul(deltas[ti], omegas[tj])
 
-    return f(jnp.asarray(map_i[:, 0]), jnp.asarray(map_i[:, 1]),
+    return f(jnp.asarray(maps[..., 0]), jnp.asarray(maps[..., 1]),
              deltas, omegas)
 
 
@@ -155,13 +186,17 @@ def keygen(cs: ConstraintSystem, k: int, fixed_evals: List[List[int]],
     mapping = _build_permutation(cs, n)
     m = len(cs.permutation_columns)
 
-    fixed_comms = []
-    for e in fixed_evals:
-        fixed_comms.append(kzg.commit_lagrange_col(srs, V.upload_ints(e, n)))
-    sigma_comms = []
-    for i in range(m):
-        sig = _sigma_dev(dom, mapping[i], m)
-        sigma_comms.append(kzg.commit_lagrange_col(srs, sig))
+    import jax.numpy as jnp
+    ncols = len(fixed_evals)
+    all_cols = []
+    if ncols:
+        all_cols.append(V.upload_ints_many(fixed_evals, n))
+    if m:
+        all_cols.append(_sigma_dev_many(dom, mapping, m))
+    comms = (kzg.commit_lagrange_cols(srs, jnp.concatenate(all_cols))
+             if all_cols else [])
+    fixed_comms = comms[:ncols]
+    sigma_comms = comms[ncols:]
 
     vk = VerifyingKey(k, cs, fixed_comms, sigma_comms, dom)
     return ProvingKey(vk, fixed_evals, mapping)

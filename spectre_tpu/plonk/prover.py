@@ -143,6 +143,67 @@ def _remap_expr(e: Expr, mapping: Dict[int, int]) -> Expr:
     return e
 
 
+_GROUP_JITS: Dict = {}
+
+
+def _group_fold(canon_expr: Expr, rot_unit: int, R: int, G: int):
+    """Jit: evaluate one canonical gate expr over G member column-sets
+    (G, R, n, NL) and return the w-weighted sum (w encodes each member's
+    y power; zero rows pad G to a power of two)."""
+    key = (canon_expr, rot_unit, R, G)
+    if key not in _GROUP_JITS:
+        @jax.jit
+        def f(cols, w):  # cols (G, R, n, NL), w (G, NL)
+            def one(cg):
+                return eval_expr(canon_expr, cg, spec, rot_unit=rot_unit)
+            vals = jax.vmap(one)(cols)
+            prod = ops.mont_mul(vals, w[:, None, :])
+            s = prod.sum(axis=0, dtype=jnp.int32)
+            return ops.fold(L._carry_relax(spec, s, passes=2))
+        _GROUP_JITS[key] = f
+    return _GROUP_JITS[key]
+
+
+_GROUP_W = 8   # member chunk width (bounds the stacked-cols HBM transient)
+
+
+def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
+    """Fold all gate polys into acc in ONE linear combination:
+    result = acc*y^P + sum_i y^(P-1-i) * eval(poly_i), evaluated as
+    vmapped groups of structurally identical exprs (10ish programs and a
+    few dozen dispatches instead of one per poly)."""
+    P = len(polys)
+    if P == 0:
+        return acc
+    groups: Dict[object, list] = {}
+    for pos, p in enumerate(polys):
+        refs = sorted(_expr_refs(p))
+        mapping = {gi: i for i, gi in enumerate(refs)}
+        canon = _remap_expr(p, mapping)
+        groups.setdefault(canon, []).append((pos, refs))
+    total = None
+    for canon, members in groups.items():
+        R = max(1, len(members[0][1]))
+        for off in range(0, len(members), _GROUP_W):
+            blk = members[off:off + _GROUP_W]
+            G = 1 << max(0, (len(blk) - 1).bit_length())
+            cols = []
+            ws = []
+            for pos, refs in blk:
+                cs_ = [get_col(g) for g in refs] or [get_col(0)]
+                cols.append(jnp.stack(cs_))
+                ws.append(spec.encode(pow(y, P - 1 - pos, FR)))
+            while len(cols) < G:
+                cols.append(jnp.zeros_like(cols[0]))
+                ws.append(spec.encode(0))
+            part = _group_fold(canon, rot_unit, R, G)(
+                jnp.stack(cols), jnp.asarray(np.stack(ws)))
+            total = part if total is None else V._add_fold_jit()(
+                total, part)
+    # acc * y^P + total
+    return _axpy_jit()(total, jnp.asarray(spec.encode(pow(y, P, FR))), acc)
+
+
 def _fold_expr(acc, expr: Expr, get_col, y_m, rot_unit: int):
     """acc = acc*y + eval(expr on coset); one fused device call per expr."""
     refs = _expr_refs(expr)
@@ -336,6 +397,22 @@ class _CosetCache:
         self.cache[gidx] = v
         return v
 
+    def prefill(self, gidxs):
+        """Batch-build missing coset columns (one NTT dispatch for the
+        group), respecting the HBM cap."""
+        missing = [g for g in dict.fromkeys(gidxs)
+                   if g not in self.cache][:self.cap]
+        if len(missing) < 2:
+            return
+        import jax.numpy as jnp
+        cosets = V.unstack(V.coset_ntt_many(
+            jnp.stack([self.coeffs_of(g) for g in missing]),
+            self.ext_k, COSET_SHIFT))
+        for g, v in zip(missing, cosets):
+            if len(self.cache) >= self.cap:
+                self.cache.pop(next(iter(self.cache)))
+            self.cache[g] = v
+
 
 # ------------------------- lookup pair construction -------------------------
 
@@ -477,19 +554,26 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             host_cols[col.index] = inst_evals[ii]
             ii += 1
 
-    # --- device columns ---
+    # --- device columns (advice+instance in one batched upload) ---
     dev_cols: Dict[int, object] = {}
+    _up_gidx = [c.index for c in cs.columns if c.kind != "fixed"]
+    if _up_gidx:
+        _up = V.unstack(V.upload_ints_many(
+            [host_cols[g] for g in _up_gidx], n))
+        for g, d in zip(_up_gidx, _up):
+            dev_cols[g] = d
+    pk.prefill_fixed()
     for col in cs.columns:
         if col.kind == "fixed":
             dev_cols[col.index] = pk.dev_fixed(col.index)
-        else:
-            dev_cols[col.index] = V.upload_ints(host_cols[col.index], n)
 
-    # --- 1. advice commits ---
-    advice_comms = []
-    for col in cs.advice:
-        cm = kzg.commit_lagrange_col(srs, dev_cols[col.index])
-        advice_comms.append(cm)
+    # --- 1. advice commits (one batched device MSM over all columns) ---
+    if cs.advice:
+        advice_comms = kzg.commit_lagrange_cols(
+            srs, jnp.stack([dev_cols[col.index] for col in cs.advice]))
+    else:
+        advice_comms = []
+    for cm in advice_comms:
         t.write_point(cm)
 
     tm("advice upload+commit")
@@ -544,12 +628,15 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         gc = _gather_concat_jit(usable)
         ap_dev = gc(a_dev, jnp.asarray(order), tail_a)
         sp_dev = gc(s_dev, jnp.asarray(s_assign), tail_s)
-        ca = kzg.commit_lagrange_col(srs, ap_dev)
-        cs_ = kzg.commit_lagrange_col(srs, sp_dev)
-        t.write_point(ca)
-        t.write_point(cs_)
-        lookups_data.append(dict(a=a_dev, s=s_dev, ap=ap_dev, sp=sp_dev,
-                                 ca=ca, cs=cs_))
+        lookups_data.append(dict(a=a_dev, s=s_dev, ap=ap_dev, sp=sp_dev))
+    if lookups_data:
+        pair_comms = kzg.commit_lagrange_cols(
+            srs, jnp.stack([c for ld in lookups_data
+                            for c in (ld["ap"], ld["sp"])]))
+        for i, ld in enumerate(lookups_data):
+            ld["ca"], ld["cs"] = pair_comms[2 * i], pair_comms[2 * i + 1]
+            t.write_point(ld["ca"])
+            t.write_point(ld["cs"])
 
     tm("lookup permuted pairs")
     beta = t.squeeze_challenge()
@@ -566,7 +653,6 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     omega_pows = V.powers(dom.omega, n)
 
     z_devs = []
-    z_comms = []
     last_z = 1
     for c_idx, chunk in enumerate(chunks):
         base = c_idx * chunk_len
@@ -581,9 +667,6 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         blind = [rand_fr() for _ in range(n_blind)]
         z_dev, last_z = V.grand_product(ratio, last_z, usable, blind)
         z_devs.append(z_dev)
-        cm = kzg.commit_lagrange_col(srs, z_dev)
-        z_comms.append(cm)
-        t.write_point(cm)
 
     tm("permutation grand products")
     # --- 2b. lookup grand products ---
@@ -594,7 +677,17 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         blind = [rand_fr() for _ in range(n_blind)]
         z_dev, _ = V.grand_product(ratio, 1, usable, blind)
         ld["z"] = z_dev
-        cm = kzg.commit_lagrange_col(srs, z_dev)
+    # one batched commit over perm Zs then lookup Zs (transcript order:
+    # all perm Z points, then each lookup's Z point — no challenge between)
+    all_z = z_devs + [ld["z"] for ld in lookups_data]
+    if all_z:
+        z_all_comms = kzg.commit_lagrange_cols(srs, jnp.stack(all_z))
+    else:
+        z_all_comms = []
+    z_comms = z_all_comms[:len(z_devs)]
+    for cm in z_comms:
+        t.write_point(cm)
+    for ld, cm in zip(lookups_data, z_all_comms[len(z_devs):]):
         ld["cz"] = cm
         t.write_point(cm)
 
@@ -615,6 +708,12 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     f_ext = n_ext // n
 
     coeffs_cache: Dict[int, object] = {}
+    # batched prefill: every column's coefficient form in a few device calls
+    _gidxs = sorted(dev_cols)
+    for _g, _cf in zip(_gidxs, V.unstack(V.intt_dev_many(
+            jnp.stack([dev_cols[g] for g in _gidxs]), k))):
+        coeffs_cache[_g] = _cf
+    pk.prefill_sigmas()
 
     def coeffs_of(gidx: int):
         if gidx not in coeffs_cache:
@@ -625,6 +724,14 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
 
     def coset_of_vec(vec_dev):
         return V.coset_ntt(V.intt_dev(vec_dev, k), ext_k, COSET_SHIFT)
+
+    def coset_of_vecs(vec_devs):
+        """Batch: eval columns -> (coeff list, coset list), few calls."""
+        if not vec_devs:
+            return [], []
+        cfs = V.intt_dev_many(jnp.stack(vec_devs), k)
+        return (V.unstack(cfs),
+                V.unstack(V.coset_ntt_many(cfs, ext_k, COSET_SHIFT)))
 
     # lagrange indicators on the coset
     def indicator(rows: List[int]):
@@ -650,13 +757,13 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
 
     acc = jnp.zeros((n_ext, NL), jnp.int32)
 
-    # gate constraints
-    for g in cs.gates:
-        for p in g.polys:
-            acc = _fold_expr(acc, p, coset, y_m, f_ext)
+    # gate constraints (vmapped by structural group, one linear fold)
+    _gate_polys = [p for g in cs.gates for p in g.polys]
+    coset.prefill([gi for p in _gate_polys for gi in sorted(_expr_refs(p))])
+    acc = _fold_gate_polys(acc, _gate_polys, coset, y, f_ext)
 
     # permutation constraints
-    z_cosets = [coset_of_vec(z) for z in z_devs]
+    z_coeffs_all, z_cosets = coset_of_vecs(z_devs)
     if chunks:
         one_m = jnp.asarray(spec.one_mont, jnp.int32)
         # l0 * (1 - Z_0)
@@ -674,13 +781,13 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                 l0, ops.sub(z_cosets[c], prev_rot, amplitude=2)))
         # main rule per chunk
         for c_idx, chunk in enumerate(chunks):
+            coset.prefill(chunk)
             base = c_idx * chunk_len
             m = len(chunk)
             cols = jnp.stack([coset(g) for g in chunk])
-            sigs = jnp.stack([
-                V.coset_ntt(pk.dev_sigma_coeffs(base + off), ext_k,
-                            COSET_SHIFT)
-                for off in range(m)])
+            sigs = V.coset_ntt_many(
+                jnp.stack([pk.dev_sigma_coeffs(base + off)
+                           for off in range(m)]), ext_k, COSET_SHIFT)
             deltas = jnp.asarray(np.stack([
                 spec.encode(pow(DELTA, base + off, FR))
                 for off in range(m)]))
@@ -688,7 +795,16 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                 acc, y_m, z_cosets[c_idx], cols, sigs, xs, deltas,
                 beta_m, gamma_m, lactive)
 
-    # lookup constraints
+    # lookup constraints (ap/sp/z transformed in one batched pass)
+    if lookups_data:
+        _lk_cfs, _lk_cos = coset_of_vecs(
+            [c for ld in lookups_data
+             for c in (ld["ap"], ld["sp"], ld["z"])])
+        for i, ld in enumerate(lookups_data):
+            (ld["ap_coeffs"], ld["sp_coeffs"],
+             ld["z_coeffs"]) = _lk_cfs[3 * i:3 * i + 3]
+            (ld["ap_cos"], ld["sp_cos"],
+             ld["z_cos"]) = _lk_cos[3 * i:3 * i + 3]
     for lk, ld in zip(cs.lookups, lookups_data):
         def compress_coset(exprs):
             arrs = [eval_expr(e, _CosetDict(coset), spec, rot_unit=f_ext)
@@ -700,15 +816,9 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
 
         a_cos = compress_coset(lk.inputs)
         s_cos = compress_coset(lk.tables)
-        ap_cos = coset_of_vec(ld["ap"])
-        sp_cos = coset_of_vec(ld["sp"])
-        z_cos = coset_of_vec(ld["z"])
-        ld["ap_coeffs"] = V.intt_dev(ld["ap"], k)
-        ld["sp_coeffs"] = V.intt_dev(ld["sp"], k)
-        ld["z_coeffs"] = V.intt_dev(ld["z"], k)
         acc = _lookup_rules_jit(f_ext)(
-            acc, y_m, z_cos, a_cos, s_cos, ap_cos, sp_cos, l0, llast,
-            lactive, beta_m, gamma_m)
+            acc, y_m, ld["z_cos"], a_cos, s_cos, ld["ap_cos"],
+            ld["sp_cos"], l0, llast, lactive, beta_m, gamma_m)
 
     # divide by Z_H on the coset (periodic values)
     sn = pow(COSET_SHIFT, n, FR)
@@ -724,13 +834,9 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     h_coeffs = V.coset_intt(h_evals, ext_k, COSET_SHIFT)
 
     tm("quotient construction")
-    h_comms = []
-    h_pieces = []
-    for i in range(f_ext):
-        piece = h_coeffs[i * n:(i + 1) * n]
-        h_pieces.append(piece)
-        cm = kzg.commit_coeff_col(srs, piece)
-        h_comms.append(cm)
+    h_pieces = [h_coeffs[i * n:(i + 1) * n] for i in range(f_ext)]
+    h_comms = kzg.commit_coeff_cols(srs, jnp.stack(h_pieces))
+    for cm in h_comms:
         t.write_point(cm)
 
     tm("h commits")
@@ -756,7 +862,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     sched.append((("rand",), rand_coeffs, x))
     for gi in range(len(perm_cols)):
         sched.append((("sig", gi), pk.dev_sigma_coeffs(gi), x))
-    z_coeffs = [V.intt_dev(zd, k) for zd in z_devs]
+    z_coeffs = z_coeffs_all
     for c_idx in range(len(chunks)):
         sched.append((("z", c_idx), z_coeffs[c_idx], x))
         sched.append((("z", c_idx), z_coeffs[c_idx], x_next))
@@ -775,7 +881,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         by_point.setdefault(z, []).append(i)
     values = [0] * len(sched)
     for z, idxs in by_point.items():
-        CH = 8
+        CH = 32
         for off in range(0, len(idxs), CH):
             grp = idxs[off:off + CH]
             vals = V.eval_polys_at([sched[i][1] for i in grp], z)
@@ -815,11 +921,9 @@ def _gwc_open(t, srs, eval_claims):
         groups.setdefault(z, []).append((cf, val))
     for z in sorted(groups):
         grp = groups[z]
-        F = grp[0][0]
-        mult = v_ch
-        for cf, _val in grp[1:]:
-            F = _axpy_jit()(F, jnp.asarray(spec.encode(mult)), cf)
-            mult = mult * v_ch % FR
+        F = V.weighted_sum_cols(
+            [cf for cf, _ in grp],
+            [pow(v_ch, i, FR) for i in range(len(grp))])
         q = V.kzg_quotient(F, z)
         W = kzg.commit_coeff_col(srs, q)
         t.write_point(W)
@@ -901,15 +1005,14 @@ def _shplonk_open(t, srs, eval_claims):
     h = None
     group_data = []
     for S, keys in sets.items():
-        F = None
         vals = {z: 0 for z in S}
+        gammas = []
         for key in keys:
             g = pow(gamma, by_poly[key]["idx"], FR)
-            cf = by_poly[key]["obj"]
-            F = (V.scalar_mul(cf, g) if F is None
-                 else _axpy_jit()(F, jnp.asarray(spec.encode(g)), cf))
+            gammas.append(g)
             for z in S:
                 vals[z] = (vals[z] + g * by_poly[key]["pts"][z]) % FR
+        F = V.weighted_sum_cols([by_poly[k]["obj"] for k in keys], gammas)
         r_coeffs = lagrange_interp(list(S), vals)
         group_data.append((S, F, r_coeffs))
         Q = _sub_low(F, r_coeffs)

@@ -54,13 +54,13 @@ def _up_bytes_jit(n: int):
     r2 = spec.encode_plain(spec.R2)
 
     @jax.jit
-    def f(b):           # (n, 34) uint8 LE bytes -> (n, NL) mont
+    def f(b):           # (..., 34) uint8 LE bytes -> (..., NL) mont
         b = b.astype(jnp.int32)
         limbs = []
         for i in range(NL):
             off = 11 * i
             j, r = off // 8, off % 8
-            w = b[:, j] | (b[:, j + 1] << 8) | (b[:, j + 2] << 16)
+            w = b[..., j] | (b[..., j + 1] << 8) | (b[..., j + 2] << 16)
             limbs.append((w >> r) & 2047)
         plain = jnp.stack(limbs, axis=-1)
         return ops.mont_mul(plain, jnp.asarray(r2))
@@ -84,6 +84,21 @@ def upload_ints(values: List[int], n: int | None = None):
     if m:
         arr[:m] = np.frombuffer(buf, dtype=np.uint8).reshape(m, 34)
     return _up_bytes_jit(n)(jnp.asarray(arr))
+
+
+def upload_ints_many(columns, n: int):
+    """List of C int-lists -> (C, n, NL) device Montgomery limbs in ONE
+    transfer + ONE program (C padded to a power of two)."""
+    C = len(columns)
+    width = 1 << max(0, (C - 1).bit_length())
+    arr = np.zeros((width, n, 34), np.uint8)
+    for i, values in enumerate(columns):
+        m = len(values)
+        if m:
+            buf = b"".join(int(v).to_bytes(34, "little") for v in values)
+            arr[i, :m] = np.frombuffer(buf, np.uint8).reshape(m, 34)
+    out = _up_bytes_jit((width, n))(jnp.asarray(arr))
+    return out[:C] if C < width else out
 
 
 def download_ints(a) -> List[int]:
@@ -155,6 +170,69 @@ def _sum_graph(a):
         a = L._carry_relax(spec, a, passes=2)
         a = ops.fold(a)
     return a[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _wsum_jit(P: int):
+    @jax.jit
+    def f(stacked, w):
+        """stacked (P, n, NL) mont, w (P, NL) mont -> (n, NL) amplitude<2.
+
+        Per-limb bound: mont_mul output amplitude < 2 so the int32 sum over
+        P<=64 rows stays < 128*B << 2^31; one relax pass then REDC-fold."""
+        prod = ops.mont_mul(stacked, w[:, None, :])
+        s = prod.sum(axis=0, dtype=jnp.int32)
+        s = L._carry_relax(spec, s, passes=2)
+        return ops.fold(s)
+    return f
+
+
+_WSUM_CHUNK = 64
+
+
+def weighted_sum_cols(cols, weights):
+    """sum_i weights[i] * cols[i] for device (n, NL) Montgomery columns and
+    python-int weights, in ceil(P/64) device calls (vs P sequential axpys).
+    Returns (n, NL) Montgomery, amplitude < 2."""
+    P = len(cols)
+    assert P == len(weights) and P > 0
+    acc = None
+    for off in range(0, P, _WSUM_CHUNK):
+        blk = list(cols[off:off + _WSUM_CHUNK])
+        w = [spec.encode(x) for x in weights[off:off + len(blk)]]
+        # pad to a power of two with zero weights: few program shapes
+        width = 1 << max(0, (len(blk) - 1).bit_length())
+        zero = None
+        while len(blk) < width:
+            if zero is None:
+                zero = jnp.zeros_like(blk[0])
+            blk.append(zero)
+            w.append(spec.encode(0))
+        part = _wsum_jit(width)(jnp.stack(blk), jnp.asarray(np.stack(w)))
+        acc = part if acc is None else _add_fold_jit()(acc, part)
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _unstack_jit(C: int):
+    @jax.jit
+    def f(a):
+        return tuple(a[i] for i in range(C))
+    return f
+
+
+def unstack(a):
+    """(C, ...) device array -> C device arrays in ONE dispatch (eager
+    per-row slicing costs a full tunnel RTT per row on axon)."""
+    return list(_unstack_jit(a.shape[0])(a))
+
+
+@functools.lru_cache(maxsize=None)
+def _add_fold_jit():
+    @jax.jit
+    def f(a, b):
+        return ops.fold(L._carry_relax(spec, a + b, passes=1))
+    return f
 
 
 # ----------------------------- jitted entries -----------------------------
@@ -335,6 +413,75 @@ def intt_dev(a, k: int):
         from . import ntt_fast
         return ntt_fast.intt_t(jnp.asarray(a).T, k).T
     return _xla_intt(a, k)
+
+
+# batched transforms: chunk so one call touches <= 2^23 rows of limbs
+_NTT_BATCH_ROWS = 1 << 23
+
+
+def _batched_transform(cols, k, fn_many, fn_one):
+    """Chunk a (C, n, NL) batch at ONE fixed width (zero-padding the tail)
+    so exactly one vmapped program per k exists — tunnel compiles are
+    minutes each, so program-shape count beats padding waste."""
+    n = 1 << k
+    C = cols.shape[0]
+    if C == 1:
+        return fn_one(cols[0])[None]
+    step = max(1, _NTT_BATCH_ROWS // n)
+    outs = []
+    for off in range(0, C, step):
+        blk = cols[off:off + step]
+        take = blk.shape[0]
+        # pad to the next power of two: <= log2(step) program shapes per k
+        width = 1 << max(0, (take - 1).bit_length())
+        width = min(width, step)
+        if take < width:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((width - take,) + blk.shape[1:], blk.dtype)])
+        out = fn_many(blk)
+        outs.append(out[:take] if take < width else out)
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+def intt_dev_many(cols, k: int):
+    """(C, 2^k, NL) -> batched coefficient forms, few device calls."""
+    from .ntt import intt_many
+    return _batched_transform(jnp.asarray(cols), k, lambda c: intt_many(c, k),
+                              lambda c: intt_dev(c, k))
+
+
+def ntt_dev_many(cols, k: int):
+    from .ntt import ntt_many
+    return _batched_transform(jnp.asarray(cols), k, lambda c: ntt_many(c, k),
+                              lambda c: ntt_dev(c, k))
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_mul_many_jit(n: int, n_ext: int):
+    @jax.jit
+    def f(coeffs, sp):  # (C, n, NL), (n, NL)
+        c = ops.mont_mul(coeffs, sp[None])
+        return jnp.concatenate(
+            [c, jnp.zeros((coeffs.shape[0], n_ext - n, NL), jnp.int32)],
+            axis=1)
+    return f
+
+
+def coset_ntt_many(coeffs_cols, ext_k: int, shift: int):
+    """(C, n, NL) coefficient columns -> (C, n_ext, NL) coset evals.
+    C is padded to a power of two to bound distinct program shapes."""
+    coeffs_cols = jnp.asarray(coeffs_cols)
+    C, n = coeffs_cols.shape[0], coeffs_cols.shape[1]
+    n_ext = 1 << ext_k
+    width = 1 << max(0, (C - 1).bit_length())
+    if C < width:
+        coeffs_cols = jnp.concatenate(
+            [coeffs_cols,
+             jnp.zeros((width - C, n, NL), jnp.int32)])
+    sp = _shift_pows(n, shift)
+    padded = _pad_mul_many_jit(n, n_ext)(coeffs_cols, sp)
+    out = ntt_dev_many(padded, ext_k)
+    return out[:C] if C < width else out
 
 
 @functools.lru_cache(maxsize=None)

@@ -243,6 +243,39 @@ def commit_lagrange_col(srs: SrsKZG, col_mont):
     return commit_dev(enc, ops.from_mont(col_mont))
 
 
+def commit_lagrange_cols(srs: SrsKZG, cols_mont):
+    """Batched commit of C device Montgomery eval columns (C, n, NL) ->
+    list of C points. At most a handful of device calls total."""
+    from ..fields import limb as LL
+    import numpy as np
+    C, n = cols_mont.shape[0], cols_mont.shape[1]
+    ops = LL.make_ops(LL.fr_spec)
+    if n < DEVICE_MSM_MIN:
+        vals = LL.fr_spec.decode_plain_batch(
+            np.asarray(ops.from_mont(cols_mont)).reshape(C * n, -1))
+        return [commit_lagrange_host(srs, vals[i * n:(i + 1) * n])
+                for i in range(C)]
+    from .msm_pippenger import commit_dev_many
+    enc = tuple(c[:n] for c in _lag_enc_dev(srs))
+    return commit_dev_many(enc, ops.from_mont(cols_mont))
+
+
+def commit_coeff_cols(srs: SrsKZG, cols_mont):
+    """Batched commit of C device Montgomery coefficient columns."""
+    from ..fields import limb as LL
+    import numpy as np
+    C, n = cols_mont.shape[0], cols_mont.shape[1]
+    ops = LL.make_ops(LL.fr_spec)
+    if n < DEVICE_MSM_MIN:
+        vals = LL.fr_spec.decode_plain_batch(
+            np.asarray(ops.from_mont(cols_mont)).reshape(C * n, -1))
+        return [commit_coeff_host(srs, vals[i * n:(i + 1) * n])
+                for i in range(C)]
+    from .msm_pippenger import commit_dev_many
+    enc = tuple(c[:n] for c in _coeff_enc_dev(srs))
+    return commit_dev_many(enc, ops.from_mont(cols_mont))
+
+
 def commit_coeff_col(srs: SrsKZG, coeffs_mont):
     from ..fields import limb as LL
     n = coeffs_mont.shape[0]

@@ -47,7 +47,7 @@ N_BUCKETS = 1 << C_BITS
 
 
 @functools.lru_cache(maxsize=None)
-def _commit_jit(curve_name: str):
+def _commit_core(curve_name: str):
     cops = CURVES[curve_name][0]
     nlq = cops.spec.n_limbs
     n_windows = L.fr_spec.n_limbs  # 24 windows of 11 bits = 264 >= 254
@@ -62,7 +62,6 @@ def _commit_jit(curve_name: str):
                 jnp.where(keep, bz, sz),
                 af | bf)
 
-    @jax.jit
     def f(X, Y, Z, S):
         N = X.shape[0]
         one = jnp.asarray(cops.one_mont, jnp.int32)
@@ -109,6 +108,19 @@ def _commit_jit(curve_name: str):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _commit_jit(curve_name: str):
+    return jax.jit(_commit_core(curve_name))
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_many_jit(curve_name: str):
+    """Batched commit: shared bases, (C, N, 24) scalars -> (C,) points.
+    One device call for C MSMs (the keygen/prover column-commit path)."""
+    return jax.jit(jax.vmap(_commit_core(curve_name),
+                            in_axes=(None, None, None, 0)))
+
+
 def commit_dev(points_enc, scalars_plain, curve: str = "bn254_g1"):
     """Device MSM: (X, Y, Z) device base arrays + (N, 24) plain-limb device
     scalars -> affine host point | None. One device call."""
@@ -118,6 +130,37 @@ def commit_dev(points_enc, scalars_plain, curve: str = "bn254_g1"):
         out = _commit_jit(curve)(X, Y, Z, jnp.asarray(scalars_plain))
     return cops.decode_points(
         tuple(np.asarray(c)[None] for c in out))[0]
+
+
+# single chunk width: every batched commit pads to one shape so exactly ONE
+# program per (curve, N) exists — tunnel XLA compiles are minutes each, so
+# program-count, not padding waste, is what matters
+_CHUNK = 32
+
+
+def commit_dev_many(points_enc, scalars_plain, curve: str = "bn254_g1"):
+    """C MSMs over a shared base: (X, Y, Z) device bases + (C, N, 24)
+    plain-limb scalars -> list of C affine host points (None = identity).
+    Chunked at a single width (zero-scalar padding) so at most
+    ceil(C/32) device calls run and only one program shape compiles."""
+    cops = CURVES[curve][0]
+    X, Y, Z = points_enc
+    S = jnp.asarray(scalars_plain)
+    C = S.shape[0]
+    fn = _commit_many_jit(curve)
+    outs = []
+    with L.compact_redc():
+        for i in range(0, C, _CHUNK):
+            blk = S[i:i + _CHUNK]
+            take = blk.shape[0]
+            if take < _CHUNK:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((_CHUNK - take,) + blk.shape[1:],
+                                    blk.dtype)])
+            out = fn(X, Y, Z, blk)
+            outs.append(tuple(np.asarray(c)[:take] for c in out))
+    coords = tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
+    return cops.decode_points(coords)
 
 
 @functools.lru_cache(maxsize=None)

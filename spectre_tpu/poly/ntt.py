@@ -90,3 +90,45 @@ def ntt(a, k: int):
 def intt(a, k: int):
     """Inverse NTT with 1/n scaling."""
     return _ntt_jit(k, True, True)(a)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_many_jit(k: int, inverse: bool, scale: bool):
+    """Batched transform: (C, 2^k, n_limbs) in ONE device call (vmapped
+    whole-array butterflies — the prover's per-column coefficient pass)."""
+    dom = Domain(k)
+    spec = dom.spec
+    ops = L.make_ops(spec)
+    amp_final = 2 * k + 2
+    amp_pow2 = 1 << max(1, (amp_final - 1).bit_length())
+
+    def one(a, bitrev, tables, n_inv_mont):
+        out, _ = ntt_graph(spec, k, a, bitrev, tables)
+        if scale:
+            out = ops.mont_mul(out, n_inv_mont)
+            return ops.canon(out, amplitude=2)
+        return ops.canon(out, amplitude=amp_pow2)
+
+    f = jax.jit(jax.vmap(one, in_axes=(0, None, None, None)))
+    state = {}
+
+    def wrapper(a):
+        if "tables" not in state:
+            state["tables"] = tuple(
+                jax.device_put(t)
+                for t in (dom.twiddles_inv if inverse else dom.twiddles_fwd))
+            state["bitrev"] = jax.device_put(dom.bitrev.astype(np.int32))
+            state["n_inv"] = jax.device_put(dom.n_inv_mont)
+        return f(a, state["bitrev"], state["tables"], state["n_inv"])
+
+    return wrapper
+
+
+def ntt_many(a, k: int):
+    """(C, 2^k, n_limbs) batched forward NTT, one call."""
+    return _ntt_many_jit(k, False, False)(a)
+
+
+def intt_many(a, k: int):
+    """(C, 2^k, n_limbs) batched inverse NTT with 1/n scaling, one call."""
+    return _ntt_many_jit(k, True, True)(a)

@@ -133,11 +133,25 @@ def _cmd_circuit(args) -> int:
         print(json.dumps(out))
         return 0 if ok else 4
 
-    print(json.dumps({
-        "status": "unimplemented",
-        "detail": f"{args.command}: EVM verifier generation lands with the "
-                  "aggregation stage",
-    }))
+    if args.command == "gen-verifier":
+        # EVM verifier bytecode from the cached PK (cli.rs:244-271 analog)
+        srs = kzg.cached_srs(args.k)
+        pk = cls.create_pk(spec, args.k, srs, pk_path=pk_path,
+                           pinning_path=pin_path)
+        witness = cls.default_witness(spec)
+        builder = cls.build(witness, spec)
+        inst_shape = [len(c) for c in builder.instances()]
+        out_path = args.out or os.path.join(
+            args.build_dir, f"{args.proof}_{args.spec}_verifier.bin")
+        code = cls.gen_evm_verifier(pk, srs, inst_shape, path=out_path)
+        print(json.dumps({
+            "status": "ok", "verifier": out_path,
+            "bytecode_bytes": len(code),
+            "inst_shape": inst_shape,
+        }))
+        return 0
+
+    print(json.dumps({"status": "unknown-command"}))
     return 3
 
 
