@@ -25,7 +25,7 @@ OPS = {
     "SLOAD": 0x54, "SSTORE": 0x55, "JUMP": 0x56, "JUMPI": 0x57,
     "PC": 0x58, "MSIZE": 0x59, "GAS": 0x5A, "JUMPDEST": 0x5B,
     "PUSH0": 0x5F,
-    "RETURN": 0xF3, "STATICCALL": 0xFA, "REVERT": 0xFD,
+    "CALL": 0xF1, "RETURN": 0xF3, "STATICCALL": 0xFA, "REVERT": 0xFD,
     "INVALID": 0xFE,
 }
 for _i in range(1, 33):

@@ -69,6 +69,15 @@ def _precompile(addr: int, data: bytes):
     from ..curves.pairing import bn254
     from ..fields.params import BN254_FQ as FQ, BN254_FR as FR
 
+    if addr == 2:  # sha256
+        import hashlib
+        words = (len(data) + 31) // 32
+        return True, hashlib.sha256(data).digest(), 60 + 12 * words
+
+    if addr == 4:  # identity
+        words = (len(data) + 31) // 32
+        return True, bytes(data), 15 + 3 * words
+
     if addr == 5:  # modexp (EIP-2565 gas, simplified for 32-byte operands)
         bsize = int.from_bytes(data[0:32], "big")
         esize = int.from_bytes(data[32:64], "big")
@@ -163,13 +172,45 @@ from .asm import OPS as _OPS
 _BY_CODE = {v: k for k, v in _OPS.items()}
 
 
+class World:
+    """Minimal multi-contract state: address -> (code, storage dict).
+    The anvil/revm stand-in for contract-tests (SURVEY §4 item 5)."""
+
+    def __init__(self):
+        self.accounts: dict = {}
+
+    def deploy(self, address: int, code: bytes, storage: dict | None = None):
+        self.accounts[address] = {"code": bytes(code),
+                                  "storage": dict(storage or {})}
+        return address
+
+    def storage(self, address: int) -> dict:
+        return self.accounts[address]["storage"]
+
+    def call(self, address: int, calldata: bytes = b"",
+             caller: int = 0, gas_limit: int = 500_000_000,
+             static: bool = False) -> "EvmResult":
+        acct = self.accounts.get(address)
+        if acct is None:
+            return EvmResult(False, b"", 0, f"no code at {address:#x}")
+        return execute(acct["code"], calldata, gas_limit, world=self,
+                       address=address, caller=caller, static=static)
+
+
 def execute(code: bytes, calldata: bytes = b"",
-            gas_limit: int = 500_000_000) -> EvmResult:
+            gas_limit: int = 500_000_000, world: World | None = None,
+            address: int = 0, caller: int = 0,
+            static: bool = False, _depth: int = 0) -> EvmResult:
+    if _depth > 64:
+        return EvmResult(False, b"", 0, "call depth exceeded")
     stack: list = []
     mem = _Memory()
+    storage = (world.accounts[address]["storage"]
+               if world is not None and address in world.accounts else {})
     returndata = b""
     pc = 0
-    gas = 21000 + sum(16 if b else 4 for b in calldata)  # intrinsic
+    gas = (0 if _depth else
+           21000 + sum(16 if b else 4 for b in calldata))  # intrinsic
     jumpdests = set()
     i = 0
     while i < len(code):
@@ -308,18 +349,52 @@ def execute(code: bytes, calldata: bytes = b"",
                     return EvmResult(False, b"", gas, "returndata oob")
                 gas += mem.store_bytes(doff,
                                        returndata[soff:soff + size])
-            elif name == "STATICCALL":
-                _g, addr, aoff, asz, roff, rsz = (pop(), pop(), pop(),
-                                                  pop(), pop(), pop())
+            elif name in ("STATICCALL", "CALL"):
+                if name == "CALL":
+                    (_g, addr, _val, aoff, asz, roff, rsz) = (
+                        pop(), pop(), pop(), pop(), pop(), pop(), pop())
+                    if static and _val:
+                        return EvmResult(False, b"", gas,
+                                         "value in static context")
+                else:
+                    _g, addr, aoff, asz, roff, rsz = (pop(), pop(), pop(),
+                                                      pop(), pop(), pop())
                 data, g1 = mem.read(aoff, asz)
                 gas += g1 + 100
-                ok, out, pgas = _precompile(addr, data)
+                if world is not None and addr in world.accounts:
+                    sub = execute(world.accounts[addr]["code"], data,
+                                  gas_limit - gas, world=world,
+                                  address=addr, caller=address,
+                                  static=static or name == "STATICCALL",
+                                  _depth=_depth + 1)
+                    ok, out, pgas = sub.success, sub.returndata, sub.gas_used
+                else:
+                    ok, out, pgas = _precompile(addr, data)
                 gas += pgas
                 returndata = out
                 if ok:
                     gas += mem.store_bytes(roff, out[:rsz].ljust(
                         min(rsz, len(out)), b"\x00") if rsz else b"")
                 stack.append(1 if ok else 0)
+            elif name == "ADDRESS":
+                stack.append(address)
+            elif name == "CALLER":
+                stack.append(caller)
+            elif name in ("ORIGIN", "CALLVALUE"):
+                stack.append(0)
+            elif name == "SLOAD":
+                gas += 2100 - 3
+                stack.append(storage.get(pop(), 0))
+            elif name == "SSTORE":
+                if static:
+                    return EvmResult(False, b"", gas,
+                                     "SSTORE in static context")
+                gas += 20000 - 3
+                k, v = pop(), pop()
+                if v:
+                    storage[k] = v
+                else:
+                    storage.pop(k, None)
             elif name == "RETURN":
                 off, size = pop(), pop()
                 data, g = mem.read(off, size)
