@@ -148,6 +148,81 @@ def load_srs(path: str) -> SrsKZG:
 _SRS_FILE_CACHE: dict = {}
 
 
+def write_params_halo2(srs: SrsKZG, path: str):
+    """Serialize to halo2's ParamsKZG<Bn256> binary layout
+    (SerdeFormat::RawBytes — what halo2-base's gen_srs/read_params and the
+    perpetual-powers-of-tau ecosystem `.srs` files use):
+    k as u32 LE, then n G1 points of the coeff basis, n of the Lagrange
+    basis, then g2 and s_g2 — every coordinate 32 canonical LE bytes."""
+    import os
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def g1b(p):
+        if p is None:
+            return b"\x00" * 64
+        return (int(p[0]).to_bytes(32, "little")
+                + int(p[1]).to_bytes(32, "little"))
+
+    def g2b(p):
+        (x0, x1), (y0, y1) = p
+        return b"".join(int(c).to_bytes(32, "little")
+                        for c in (x0, x1, y0, y1))
+
+    with open(path, "wb") as f:
+        f.write(int(srs.k).to_bytes(4, "little"))
+        for p in srs.g1_coeff:
+            f.write(g1b(p))
+        for p in srs.g1_lagrange:
+            f.write(g1b(p))
+        f.write(g2b(srs.g2))
+        f.write(g2b(srs.s_g2))
+
+
+def read_params_halo2(path: str, check: bool = True) -> SrsKZG:
+    """Read a halo2 ParamsKZG<Bn256> `.srs` file (see write_params_halo2).
+    check=True validates points are on-curve and the tau consistency
+    pairing e(tau*G1, G2) == e(G1, tau*G2)."""
+    from ..fields.params import BN254_FQ as FQ
+    with open(path, "rb") as f:
+        data = f.read()
+    k = int.from_bytes(data[:4], "little")
+    n = 1 << k
+    need = 4 + 64 * 2 * n + 128 * 2
+    assert len(data) >= need, f"srs file truncated: {len(data)} < {need}"
+
+    def g1_at(off):
+        x = int.from_bytes(data[off:off + 32], "little")
+        y = int.from_bytes(data[off + 32:off + 64], "little")
+        if x == 0 and y == 0:
+            return None
+        if check:
+            assert x < FQ and y < FQ, "coordinate out of range"
+            assert (y * y - (x * x * x + 3)) % FQ == 0, "not on curve"
+        return (x, y)
+
+    def g2_at(off):
+        c = [int.from_bytes(data[off + 32 * i:off + 32 * (i + 1)], "little")
+             for i in range(4)]
+        return ((c[0], c[1]), (c[2], c[3]))
+
+    g1_coeff = [g1_at(4 + 64 * i) for i in range(n)]
+    base = 4 + 64 * n
+    g1_lagrange = [g1_at(base + 64 * i) for i in range(n)]
+    base += 64 * n
+    g2 = g2_at(base)
+    s_g2 = g2_at(base + 128)
+    srs = SrsKZG(k=k, g1_coeff=g1_coeff, g1_lagrange=g1_lagrange,
+                 g2=g2, s_g2=s_g2, tau=None)
+    if check and n >= 2:
+        from ..curves.pairing import bn254
+        e = bn254()
+        # e(tau*G1, G2) == e(G1, tau*G2)  <=>  product check with negation
+        neg = H.bn254_g1.neg(srs.g1_coeff[1])
+        assert e.pairing_check([(neg, g2), (srs.g1_coeff[0], s_g2)]), \
+            "SRS tau consistency pairing failed"
+    return srs
+
+
 def cached_srs(k: int, params_dir: str | None = None) -> SrsKZG:
     """Load (or generate + persist) the test SRS for degree k.
 
@@ -159,12 +234,18 @@ def cached_srs(k: int, params_dir: str | None = None) -> SrsKZG:
     key = (k, params_dir)
     if key in _SRS_FILE_CACHE:
         return _SRS_FILE_CACHE[key]
-    path = os.path.join(params_dir, f"srs_{k}.npz")
-    if os.path.exists(path):
-        srs = load_srs(path)
+    # an externally-provided halo2-format SRS takes precedence (the
+    # halo2-base naming gen_srs uses: kzg_bn254_{k}.srs in PARAMS_DIR)
+    halo2_path = os.path.join(params_dir, f"kzg_bn254_{k}.srs")
+    if os.path.exists(halo2_path):
+        srs = read_params_halo2(halo2_path)
     else:
-        srs = test_srs(k)
-        save_srs(srs, path)
+        path = os.path.join(params_dir, f"srs_{k}.npz")
+        if os.path.exists(path):
+            srs = load_srs(path)
+        else:
+            srs = test_srs(k)
+            save_srs(srs, path)
     _SRS_FILE_CACHE[key] = srs
     return srs
 

@@ -14,6 +14,8 @@ class Spec:
     finalized_header_depth: int = 6
     bytes_per_logs_bloom: int = 256
     max_extra_data_bytes: int = 32
+    # SLOTS_PER_EPOCH * EPOCHS_PER_SYNC_COMMITTEE_PERIOD (minimal: 8*8)
+    slots_per_period: int = 8192
     dst: bytes = b"BLS_SIG_BLS12381G2_XMD:SHA-256_SSWU_RO_POP_"
 
     @property
@@ -26,7 +28,7 @@ class Spec:
 
 
 MINIMAL = Spec(name="minimal", sync_committee_size=32,
-               execution_state_root_index=9)
+               execution_state_root_index=9, slots_per_period=64)
 TESTNET = Spec(name="testnet", sync_committee_size=512,
                execution_state_root_index=25)
 MAINNET = Spec(name="mainnet", sync_committee_size=512,

@@ -59,3 +59,29 @@ def test_msm_with_identity_and_zero_scalar(rng):
     got = M.msm(pts, scalars, "bn254_g1")
     want = curve.mul(curve.gen, 21)
     assert got == want
+
+
+def test_halo2_srs_file_roundtrip(tmp_path):
+    """halo2 ParamsKZG .srs format: write/read round-trip + on-curve and
+    tau-consistency pairing validation + cached_srs precedence."""
+    import os
+    from spectre_tpu.poly import kzg
+    srs = kzg.test_srs(3)
+    p = str(tmp_path / "kzg_bn254_3.srs")
+    kzg.write_params_halo2(srs, p)
+    got = kzg.read_params_halo2(p)
+    assert got.k == 3 and got.tau is None
+    assert got.g1_coeff == srs.g1_coeff
+    assert got.g1_lagrange == srs.g1_lagrange
+    assert got.g2 == srs.g2 and got.s_g2 == srs.s_g2
+    # corrupt one coordinate byte -> validation fails
+    blob = bytearray(open(p, "rb").read())
+    blob[20] ^= 1
+    bad = str(tmp_path / "kzg_bn254_bad.srs")
+    open(bad, "wb").write(bytes(blob))
+    import pytest
+    with pytest.raises(AssertionError):
+        kzg.read_params_halo2(bad)
+    # cached_srs picks up the halo2-format file from PARAMS_DIR
+    got2 = kzg.cached_srs(3, params_dir=str(tmp_path))
+    assert got2.g1_coeff == srs.g1_coeff and got2.tau is None
