@@ -56,6 +56,30 @@ def _keccak_f(a):
 
 
 def keccak256(data: bytes) -> bytes:
+    lib = _native()
+    if lib is not None:
+        out = bytes(32)
+        lib.spectre_keccak256(bytes(data), len(data), out)
+        return out
+    return _keccak256_py(data)
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is _UNSET:
+        try:
+            from ..native import keccak_lib
+            _NATIVE = keccak_lib()
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+_UNSET = object()
+_NATIVE = _UNSET
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136  # 1088 bits
     # pad10*1 with 0x01 domain byte (legacy Keccak)
     padded = bytearray(data)

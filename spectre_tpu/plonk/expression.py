@@ -223,6 +223,39 @@ def eval_expr(expr: Expr, columns, spec: L.FieldSpec = L.fr_spec,
     """
     ops = L.make_ops(spec)
 
+    def batched_sum(terms) -> tuple:
+        """Wide sums (the zkEVM-style bit-recomposition gates have 30-100
+        Scaled terms) as ONE stacked mont_mul + int32 tree-sum + fold —
+        collapses the per-term chained graph that otherwise makes XLA
+        compile times explode on large gate polys."""
+        import numpy as np
+        bases, weights = [], []
+        for t in terms:
+            if isinstance(t, Scaled):
+                v, a = rec(t.inner)
+                w = t.scalar
+            elif isinstance(t, Const):
+                v, a = jnp.asarray(spec.encode(1)), 1
+                w = t.value
+            else:
+                v, a = rec(t)
+                w = 1
+            if a > 2:
+                v = ops.fold(v)
+            bases.append(v)
+            weights.append(w)
+        # broadcast bare-scalar entries (NL,) up to the column shape
+        full = next((b.shape for b in bases if b.ndim > 1), None)
+        if full is not None:
+            bases = [jnp.broadcast_to(b, full) if b.ndim == 1 else b
+                     for b in bases]
+        st = jnp.stack(bases)
+        wm = jnp.asarray(np.stack([spec.encode(x) for x in weights]))
+        wm = wm.reshape((len(terms),) + (1,) * (st.ndim - 2) + (wm.shape[-1],))
+        prod = ops.mont_mul(st, wm)          # amplitude < 2 per row
+        s = prod.sum(axis=0, dtype=jnp.int32)  # amplitude < 2*T (T <= ~128)
+        return ops.fold(s), 2
+
     def rec(e) -> tuple:
         # returns (tensor, amplitude)
         if isinstance(e, Const):
@@ -237,6 +270,8 @@ def eval_expr(expr: Expr, columns, spec: L.FieldSpec = L.fr_spec,
                 col = jnp.roll(col, -e.rotation * rot_unit, axis=0)
             return col, 2
         if isinstance(e, Sum):
+            if len(e.terms) >= 6:
+                return batched_sum(e.terms)
             acc, amp = rec(e.terms[0])
             for t in e.terms[1:]:
                 v, a = rec(t)

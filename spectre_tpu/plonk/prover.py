@@ -184,8 +184,11 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
     total = None
     for canon, members in groups.items():
         R = max(1, len(members[0][1]))
-        for off in range(0, len(members), _GROUP_W):
-            blk = members[off:off + _GROUP_W]
+        # member chunk scales down with ref count: the stacked input is
+        # (G, R, n_ext, NL), so bound G*R
+        gw = min(_GROUP_W, max(1, 64 // R))
+        for off in range(0, len(members), gw):
+            blk = members[off:off + gw]
             G = 1 << max(0, (len(blk) - 1).bit_length())
             cols = []
             ws = []
