@@ -166,6 +166,85 @@ def _group_fold(canon_expr: Expr, rot_unit: int, R: int, G: int):
 
 _GROUP_W = 8   # member chunk width (bounds the stacked-cols HBM transient)
 
+# exprs bigger than this are not compiled as one program (the 101-ref
+# zkEVM-SHA round gates OOM-kill the tunnel XLA compiler); they are
+# evaluated by interpretation: one cached primitive jit per node kind,
+# memoized subtrees, device arrays throughout
+_COMPILE_MAX_REFS = 40
+
+
+def _expr_nodes(e: Expr) -> int:
+    if isinstance(e, Sum):
+        return 1 + sum(_expr_nodes(t) for t in e.terms)
+    if isinstance(e, Prod):
+        return 1 + sum(_expr_nodes(f) for f in e.factors)
+    if isinstance(e, Scaled):
+        return 1 + _expr_nodes(e.inner)
+    return 1
+
+
+@functools.lru_cache(maxsize=None)
+def _mul2_jit():
+    @jax.jit
+    def f(a, b):
+        return ops.mont_mul(a, b)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _rot_jit(shift: int):
+    @jax.jit
+    def f(a):
+        return jnp.roll(a, -shift, axis=0)
+    return f
+
+
+def _eval_expr_interp(expr: Expr, get_col, rot_unit: int):
+    """Interpreted expression evaluation for oversized gate polys: each
+    node is one dispatch of a small cached jit; identical subtrees are
+    memoized. Output amplitude < 2."""
+    memo: Dict = {}
+
+    def rec(e):
+        key = e
+        if key in memo:
+            return memo[key]
+        if isinstance(e, Const):
+            v = jnp.asarray(spec.encode(e.value))
+        elif isinstance(e, ColumnRef):
+            v = get_col(e.index)
+            if e.rotation:
+                v = _rot_jit(e.rotation * rot_unit)(v)
+        elif isinstance(e, Sum):
+            cols, weights = [], []
+            for t in e.terms:
+                if isinstance(t, Scaled):
+                    cols.append(rec(t.inner))
+                    weights.append(t.scalar)
+                elif isinstance(t, Const):
+                    cols.append(jnp.asarray(spec.encode(1)))
+                    weights.append(t.value)
+                else:
+                    cols.append(rec(t))
+                    weights.append(1)
+            full = next((c.shape for c in cols if c.ndim > 1), None)
+            if full is not None:
+                cols = [jnp.broadcast_to(c, full) if c.ndim == 1 else c
+                        for c in cols]
+            v = V.weighted_sum_cols(cols, weights)
+        elif isinstance(e, Prod):
+            v = rec(e.factors[0])
+            for f_ in e.factors[1:]:
+                v = _mul2_jit()(v, rec(f_))
+        elif isinstance(e, Scaled):
+            v = _mul2_jit()(rec(e.inner), jnp.asarray(spec.encode(e.scalar)))
+        else:
+            raise TypeError(f"unknown expr {e!r}")
+        memo[key] = v
+        return v
+
+    return rec(expr)
+
 
 def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
     """Fold all gate polys into acc in ONE linear combination:
@@ -180,10 +259,20 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
         refs = sorted(_expr_refs(p))
         mapping = {gi: i for i, gi in enumerate(refs)}
         canon = _remap_expr(p, mapping)
-        groups.setdefault(canon, []).append((pos, refs))
+        groups.setdefault(canon, []).append((pos, refs, p))
     total = None
     for canon, members in groups.items():
         R = max(1, len(members[0][1]))
+        if R > _COMPILE_MAX_REFS or _expr_nodes(canon) > 1500:
+            # oversized expr: interpret (compiling it OOMs the tunnel XLA)
+            vals = [_eval_expr_interp(p, get_col, rot_unit)
+                    for (_pos, _refs, p) in members]
+            part = V.weighted_sum_cols(
+                vals, [pow(y, P - 1 - pos, FR)
+                       for (pos, _r, _p) in members])
+            total = part if total is None else V._add_fold_jit()(
+                total, part)
+            continue
         # member chunk scales down with ref count: the stacked input is
         # (G, R, n_ext, NL), so bound G*R
         gw = min(_GROUP_W, max(1, 64 // R))
@@ -192,7 +281,7 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
             G = 1 << max(0, (len(blk) - 1).bit_length())
             cols = []
             ws = []
-            for pos, refs in blk:
+            for pos, refs, _p in blk:
                 cs_ = [get_col(g) for g in refs] or [get_col(0)]
                 cols.append(jnp.stack(cs_))
                 ws.append(spec.encode(pow(y, P - 1 - pos, FR)))
