@@ -274,32 +274,52 @@ def scalar_mul(a, s: int):
     return _scalar_mul_jit()(a, jnp.asarray(spec.encode(s)))
 
 
+def _sum_rows_graph(a):
+    """Exact sum over axis 1 of (m, n, NL) Montgomery rows -> (m, NL),
+    amplitude < 2 (the batched _sum_graph)."""
+    while a.shape[1] > 1:
+        m, n = a.shape[0], a.shape[1]
+        c = min(256, n)
+        if n % c:
+            pad = c - n % c
+            a = jnp.concatenate(
+                [a, jnp.zeros((m, pad, NL), jnp.int32)], axis=1)
+            n += pad
+        a = a.reshape(m, n // c, c, NL).sum(axis=2, dtype=jnp.int32)
+        flat = L._carry_relax(spec, a.reshape(-1, NL), passes=2)
+        a = ops.fold(flat).reshape(m, n // c, NL)
+    return a[:, 0]
+
+
 @functools.lru_cache(maxsize=None)
 def _eval_many_jit(n: int, m: int):
     @jax.jit
     def f(stacked, x_mont):  # stacked (m, n, NL)
         pw = _powers_graph(x_mont, n)
-        outs = []
-        for i in range(m):
-            t = ops.mont_mul(stacked[i], pw)
-            outs.append(ops.canon(_sum_graph(t), 2))
-        return jnp.stack(outs)
+        t = ops.mont_mul(stacked, pw[None])
+        return ops.canon(_sum_rows_graph(t), 2)
     return f
 
 
 def eval_polys_at(coeff_list, x: int) -> List[int]:
     """Evaluate several device coefficient vectors at the same point.
 
-    One device call; returns canonical ints.
+    One device call (m padded to a power of two so few program shapes
+    exist); returns canonical ints.
     """
     if not coeff_list:
         return []
     n = coeff_list[0].shape[0]
+    m = len(coeff_list)
+    width = 1 << max(0, (m - 1).bit_length())
     stacked = jnp.stack(coeff_list)
-    out = _eval_many_jit(n, len(coeff_list))(
+    if m < width:
+        stacked = jnp.concatenate(
+            [stacked, jnp.zeros((width - m, n, NL), jnp.int32)])
+    out = _eval_many_jit(n, width)(
         stacked, jnp.asarray(spec.encode(x)))
     return [spec.from_mont_int(v) % FR
-            for v in spec.decode_plain_batch(np.asarray(out))]
+            for v in spec.decode_plain_batch(np.asarray(out))][:m]
 
 
 def eval_poly_at(coeffs, x: int) -> int:
