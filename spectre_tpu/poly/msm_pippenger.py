@@ -109,8 +109,99 @@ def _commit_core(curve_name: str):
 
 
 @functools.lru_cache(maxsize=None)
+def _commit_core_flat(curve_name: str):
+    """All-windows-at-once Pippenger: ONE argsort + ONE segmented scan over
+    (n_windows*N) elements keyed by (window, digit), then a per-window
+    bucket suffix scan vectorized across windows and a short Horner fold.
+    Sequential depth ~log2(24N) + 11 + log2(2048) + 24, vs the fori_loop
+    version's 24 * (log2 N + 11 + ...) — ~10x fewer dependent kernel steps
+    with the same 2N-adds/window work."""
+    cops = CURVES[curve_name][0]
+    nlq = cops.spec.n_limbs
+    n_windows = L.fr_spec.n_limbs
+
+    def combine(a, b):
+        ax, ay, az, af = a
+        bx, by, bz, bf = b
+        sx, sy, sz = cops.padd_graph((ax, ay, az), (bx, by, bz))
+        keep = bf.astype(bool)
+        return (jnp.where(keep, bx, sx),
+                jnp.where(keep, by, sy),
+                jnp.where(keep, bz, sz),
+                af | bf)
+
+    def f(X, Y, Z, S):
+        N = X.shape[0]
+        one = jnp.asarray(cops.one_mont, jnp.int32)
+        ident = (jnp.zeros(nlq, jnp.int32), one, jnp.zeros(nlq, jnp.int32))
+        NB = n_windows * N_BUCKETS
+        # combined sort key: window * 2048 + digit, flattened (w-major)
+        keys = (S.T + (jnp.arange(n_windows, dtype=jnp.int32)[:, None]
+                       << C_BITS)).reshape(-1)
+        order = jnp.argsort(keys)
+        sk = keys[order]
+        pidx = order % N                      # original point row
+        Ps = (X[pidx], Y[pidx], Z[pidx])
+        flags = jnp.concatenate(
+            [jnp.ones(1, jnp.int32), (sk[1:] != sk[:-1]).astype(jnp.int32)])
+        sx, sy, sz, _ = jax.lax.associative_scan(
+            combine, Ps + (flags[:, None],), axis=0)
+        mask_last = jnp.concatenate(
+            [flags[1:], jnp.ones(1, jnp.int32)]).astype(bool)[:, None]
+        bucket = []
+        for c in (sx, sy, sz):
+            bucket.append(jnp.zeros((NB, nlq), jnp.int32)
+                          .at[sk].add(jnp.where(mask_last, c, 0)))
+        cnt = (jnp.zeros(NB, jnp.int32)
+               .at[sk].add(mask_last[:, 0].astype(jnp.int32)))
+        digit = jnp.arange(NB) & (N_BUCKETS - 1)
+        present = (cnt > 0) & (digit != 0)
+        ident_rows = tuple(jnp.broadcast_to(c, (NB, nlq)) for c in ident)
+        B = tuple(jnp.where(present[:, None], b, ir).reshape(
+            n_windows, N_BUCKETS, nlq)
+            for b, ir in zip(bucket, ident_rows))
+        # suffix sums along the bucket axis, batched over windows
+        T = jax.lax.associative_scan(
+            lambda a, b: cops.padd_graph(a, b), B, axis=1, reverse=True)
+        ir1 = tuple(jnp.broadcast_to(c, (n_windows, 1, nlq)) for c in ident)
+        T1 = tuple(jnp.concatenate([c[:, 1:], ir[:, :1]], axis=1)
+                   for c, ir in zip(T, ir1))
+        from .msm import _tree_reduce_axis
+        win = _tree_reduce_axis(cops, T1, N_BUCKETS)   # (n_windows, nlq) x3
+        win = tuple(c.reshape(n_windows, nlq) for c in win)
+
+        def body(i, tot):
+            w = n_windows - 1 - i
+            for _ in range(C_BITS):
+                tot = cops.pdbl_graph(tot)
+            wv = tuple(jax.lax.dynamic_index_in_dim(c, w, 0, keepdims=False)
+                       for c in win)
+            return cops.padd_graph(tot, wv)
+
+        return jax.lax.fori_loop(0, n_windows, body, ident)
+
+    return f
+
+
+# flat (single-sort) kernel: better dispatch depth; the fori_loop variant
+# stays for memory-constrained very large N
+_FLAT_MAX_N = 1 << 18
+
+
+@functools.lru_cache(maxsize=None)
 def _commit_jit(curve_name: str):
     return jax.jit(_commit_core(curve_name))
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_flat_jit(curve_name: str):
+    return jax.jit(_commit_core_flat(curve_name))
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_flat_many_jit(curve_name: str):
+    return jax.jit(jax.vmap(_commit_core_flat(curve_name),
+                            in_axes=(None, None, None, 0)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -126,8 +217,10 @@ def commit_dev(points_enc, scalars_plain, curve: str = "bn254_g1"):
     scalars -> affine host point | None. One device call."""
     cops = CURVES[curve][0]
     X, Y, Z = points_enc
+    fn = (_commit_flat_jit(curve) if X.shape[0] <= _FLAT_MAX_N
+          else _commit_jit(curve))
     with L.compact_redc():
-        out = _commit_jit(curve)(X, Y, Z, jnp.asarray(scalars_plain))
+        out = fn(X, Y, Z, jnp.asarray(scalars_plain))
     return cops.decode_points(
         tuple(np.asarray(c)[None] for c in out))[0]
 
@@ -147,15 +240,29 @@ def commit_dev_many(points_enc, scalars_plain, curve: str = "bn254_g1"):
     X, Y, Z = points_enc
     S = jnp.asarray(scalars_plain)
     C = S.shape[0]
-    fn = _commit_many_jit(curve)
+    N = X.shape[0]
+    # flat kernel with a memory-scaled chunk width (the 24N-element scan
+    # holds ~96 bytes/element of working set per column)
+    width = max(1, min(_CHUNK, (1 << 28) // max(N * 96, 1)))
+    width = 1 << (width.bit_length() - 1)
+    if N <= _FLAT_MAX_N:
+        fn = (_commit_flat_many_jit(curve) if width > 1
+              else _commit_flat_jit(curve))
+    else:
+        width = _CHUNK
+        fn = _commit_many_jit(curve)
     outs = []
     with L.compact_redc():
-        for i in range(0, C, _CHUNK):
-            blk = S[i:i + _CHUNK]
+        for i in range(0, C, width):
+            blk = S[i:i + width]
             take = blk.shape[0]
-            if take < _CHUNK:
+            if width == 1 and N <= _FLAT_MAX_N:
+                out = fn(X, Y, Z, blk[0])
+                outs.append(tuple(np.asarray(c)[None] for c in out))
+                continue
+            if take < width:
                 blk = jnp.concatenate(
-                    [blk, jnp.zeros((_CHUNK - take,) + blk.shape[1:],
+                    [blk, jnp.zeros((width - take,) + blk.shape[1:],
                                     blk.dtype)])
             out = fn(X, Y, Z, blk)
             outs.append(tuple(np.asarray(c)[:take] for c in out))

@@ -33,3 +33,33 @@ def test_batch_fixed_base_mul(rng):
     got = batch_fixed_base_mul(scalars, "bn254_g1", chunk=4)
     want = [curve.mul(curve.gen, s) for s in scalars]
     assert got == want
+
+
+@pytest.mark.slow
+def test_commit_dev_flat_vs_host():
+    """Device one-call Pippenger (flat all-windows kernel) against the
+    host MSM oracle at N=64, both single and batched column paths."""
+    import numpy as np
+    import random
+    from spectre_tpu.curves import host as H
+    from spectre_tpu.curves.limbjax import bn254_g1_ops
+    from spectre_tpu.fields.params import BN254_FR as FR
+    from spectre_tpu.fields import limb as L
+    from spectre_tpu.poly.msm_pippenger import commit_dev, commit_dev_many
+
+    rng = random.Random(7)
+    N = 64
+    pts = [H.bn254_g1.mul(H.bn254_g1.gen, rng.randrange(1, FR))
+           for _ in range(N)]
+    enc = tuple(map(__import__("jax").numpy.asarray,
+                    bn254_g1_ops.encode_points(pts)))
+    cols = []
+    for _ in range(3):
+        scalars = [rng.randrange(0, FR) for _ in range(N)]
+        cols.append(scalars)
+    want = [H.bn254_g1.msm(pts, c) for c in cols]
+    got0 = commit_dev(enc, L.fr_spec.encode_plain_batch(cols[0]))
+    assert got0 == want[0]
+    S = np.stack([L.fr_spec.encode_plain_batch(c) for c in cols])
+    got = commit_dev_many(enc, S)
+    assert got == want
