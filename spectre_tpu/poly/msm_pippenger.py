@@ -184,8 +184,16 @@ def _commit_core_flat(curve_name: str):
 
 
 # flat (single-sort) kernel: better dispatch depth; the fori_loop variant
-# stays for memory-constrained very large N
-_FLAT_MAX_N = 1 << 18
+# stays for memory-constrained very large N. NOTE the TPU tiling pads the
+# trailing 24-limb axis to 128 lanes (~5.3x memory expansion), so budgets
+# use ~1.6 KB per scan element, not 300 B.
+_FLAT_MAX_N = 1 << 17
+_FLAT_ELEM_BYTES = 1664
+
+
+def _flat_width(N: int) -> int:
+    w = max(1, min(16, (1 << 27) // max(N * _FLAT_ELEM_BYTES, 1)))
+    return 1 << (w.bit_length() - 1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -241,10 +249,8 @@ def commit_dev_many(points_enc, scalars_plain, curve: str = "bn254_g1"):
     S = jnp.asarray(scalars_plain)
     C = S.shape[0]
     N = X.shape[0]
-    # flat kernel with a memory-scaled chunk width (the 24N-element scan
-    # holds ~96 bytes/element of working set per column)
-    width = max(1, min(_CHUNK, (1 << 28) // max(N * 96, 1)))
-    width = 1 << (width.bit_length() - 1)
+    # flat kernel with a memory-scaled chunk width
+    width = _flat_width(N)
     if N <= _FLAT_MAX_N:
         fn = (_commit_flat_many_jit(curve) if width > 1
               else _commit_flat_jit(curve))
