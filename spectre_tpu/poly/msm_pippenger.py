@@ -225,10 +225,8 @@ def commit_dev(points_enc, scalars_plain, curve: str = "bn254_g1"):
     scalars -> affine host point | None. One device call."""
     cops = CURVES[curve][0]
     X, Y, Z = points_enc
-    fn = (_commit_flat_jit(curve) if X.shape[0] <= _FLAT_MAX_N
-          else _commit_jit(curve))
     with L.compact_redc():
-        out = fn(X, Y, Z, jnp.asarray(scalars_plain))
+        out = _commit_jit(curve)(X, Y, Z, jnp.asarray(scalars_plain))
     return cops.decode_points(
         tuple(np.asarray(c)[None] for c in out))[0]
 
@@ -249,11 +247,12 @@ def commit_dev_many(points_enc, scalars_plain, curve: str = "bn254_g1"):
     S = jnp.asarray(scalars_plain)
     C = S.shape[0]
     N = X.shape[0]
-    # flat kernel with a memory-scaled chunk width
+    # flat kernel with a memory-scaled chunk width; single-column batches
+    # and very large N use the per-window kernel (already compiled for the
+    # single-commit path — fewer distinct tunnel compiles)
     width = _flat_width(N)
-    if N <= _FLAT_MAX_N:
-        fn = (_commit_flat_many_jit(curve) if width > 1
-              else _commit_flat_jit(curve))
+    if N <= _FLAT_MAX_N and width > 1:
+        fn = _commit_flat_many_jit(curve)
     else:
         width = _CHUNK
         fn = _commit_many_jit(curve)
@@ -262,10 +261,6 @@ def commit_dev_many(points_enc, scalars_plain, curve: str = "bn254_g1"):
         for i in range(0, C, width):
             blk = S[i:i + width]
             take = blk.shape[0]
-            if width == 1 and N <= _FLAT_MAX_N:
-                out = fn(X, Y, Z, blk[0])
-                outs.append(tuple(np.asarray(c)[None] for c in out))
-                continue
             if take < width:
                 blk = jnp.concatenate(
                     [blk, jnp.zeros((width - take,) + blk.shape[1:],
