@@ -80,3 +80,31 @@ def test_transcript_rejects_noncanonical():
     t = Blake2bTranscript(int(x).to_bytes(32, "little"))  # x not on curve
     with pytest.raises(ProofError):
         t.read_point()
+
+
+def test_keccak_transcript_framing_pinned():
+    """EVM-flavor transcript: uncompressed BE points, BE scalars, keccak
+    state chaining — the byte layout the generated verifiers replay."""
+    from spectre_tpu.plonk.transcript import KeccakTranscript
+    t = KeccakTranscript()
+    t.common_scalar(42)
+    t.write_point(bn254_g1.gen)
+    c1 = t.squeeze_challenge()
+    t.write_scalar(c1)
+    c2 = t.squeeze_challenge()
+    assert len(t.proof()) == 96   # 64-byte point + 32-byte scalar
+    assert c1 == 0x1f59c964279d5acb1611bbda921593fe661f39d37271b5dbfba87de97463731f
+    assert c2 == 0x22dcf428bb0b26b46584d1a8cf6d6ad5b135605846a473e26af432ed5ca462c2
+
+
+def test_poseidon_transcript_framing_pinned():
+    """Aggregation-flavor transcript (native Poseidon duplex sponge)."""
+    from spectre_tpu.plonk.transcript import PoseidonTranscript
+    t = PoseidonTranscript()
+    t.common_scalar(42)
+    t.write_point(bn254_g1.gen)
+    c1 = t.squeeze_challenge()
+    t.write_scalar(c1)
+    c2 = t.squeeze_challenge()
+    assert c1 != c2 and c1 != 0
+    assert len(t.proof()) == 96
