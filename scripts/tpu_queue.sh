@@ -4,15 +4,6 @@
 set -u
 cd /root/repo
 
-wait_for_tpu() {
-  # wait until no other prove/bench python is using the chip
-  while pgrep -f "scripts/prove_committee.py" > /dev/null \
-     || pgrep -f "scripts/prove_aggregation.py" > /dev/null; do
-    sleep 30
-  done
-}
-
-wait_for_tpu
 echo "[queue] $(date -u +%H:%M:%S) warm nano k=13 rerun"
 SPECTRE_TRACE=1 timeout 5400 python -u scripts/prove_committee.py \
   --spec nano --k 13 > /tmp/q_nano_warm.log 2>&1

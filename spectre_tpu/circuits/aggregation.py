@@ -500,3 +500,43 @@ def aggregation_instances(vk_inner: VerifyingKey, proof_data: bytes,
            + _limbs_of(rhs[0]) + _limbs_of(rhs[1]))
     flat = [v % FR for col in inner_instances for v in col]
     return [acc + flat]
+
+
+@dataclass
+class AggregationInput:
+    """AppCircuit witness for the aggregation stage: the inner snark
+    (Poseidon-transcript SHPLONK) plus its verifying key."""
+    vk_inner: VerifyingKey
+    proof: bytes
+    instances: List[List[int]]
+
+
+def _make_aggregation_circuit():
+    from .app import AppCircuit
+
+    class AggregationCircuit(AppCircuit):
+        """AppCircuit adapter for the universal aggregation circuit
+        (aggregation_circuit.rs:77-124 analog). Keygen uses a dummy inner
+        snark (cli.rs:164-183 gen_dummy_snark flow) via dummy_input()."""
+
+        accumulator_indices = ACC_INDICES
+
+        @classmethod
+        def build(cls, witness: AggregationInput, spec=None):
+            return build_aggregation(
+                witness.vk_inner,
+                AggregationWitness(witness.proof, witness.instances))
+
+        @classmethod
+        def dummy_input(cls, inner_cls, spec, inner_k: int,
+                        srs, pk_path=None) -> AggregationInput:
+            """Inner keygen + default-witness snark -> keygen witness."""
+            pk = inner_cls.create_pk(spec, inner_k, srs, pk_path=pk_path)
+            w = inner_cls.default_witness(spec)
+            proof, inst = inner_cls.gen_snark(pk, spec, srs, w)
+            return AggregationInput(pk.vk, proof.data, inst)
+
+    return AggregationCircuit
+
+
+AggregationCircuit = _make_aggregation_circuit()

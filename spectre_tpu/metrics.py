@@ -1,0 +1,54 @@
+"""Phase timing + metrics (the ark-std start_timer!/end_timer! +
+tracing_subscriber analog, SURVEY §5 aux subsystems).
+
+- PhaseRecorder: wall-clock per named phase; prints when SPECTRE_TRACE=1,
+  always logs at DEBUG to the "spectre_tpu" logger, and keeps the
+  measurements so callers (RPC/CLI) can surface them.
+- publish()/last_report(): the most recent report per task name, queryable
+  in-process (the RPC server attaches prover timings to responses).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+log = logging.getLogger("spectre_tpu")
+
+_TRACE = os.environ.get("SPECTRE_TRACE", "") not in ("", "0")
+_LAST: Dict[str, dict] = {}
+
+
+class PhaseRecorder:
+    def __init__(self, task: str = "task"):
+        self.task = task
+        self.t0 = time.time()
+        self.last = self.t0
+        self.phases: List[Tuple[str, float]] = []
+
+    def __call__(self, phase: str):
+        now = time.time()
+        dt = now - self.last
+        self.phases.append((phase, dt))
+        if _TRACE:
+            print(f"[{self.task} +{now - self.t0:7.1f}s] {phase} "
+                  f"(+{dt:.1f}s)", flush=True)
+        log.debug("%s: %s took %.2fs", self.task, phase, dt)
+        self.last = now
+
+    def report(self) -> dict:
+        return {
+            "task": self.task,
+            "total_s": round(time.time() - self.t0, 3),
+            "phases": {p: round(dt, 3) for p, dt in self.phases},
+        }
+
+    def publish(self) -> dict:
+        r = self.report()
+        _LAST[self.task] = r
+        return r
+
+
+def last_report(task: str) -> Optional[dict]:
+    return _LAST.get(task)

@@ -54,23 +54,9 @@ COSET_CACHE_CAP = int(os.environ.get("SPECTRE_COSET_CACHE", "12"))
 _TRACE = os.environ.get("SPECTRE_TRACE", "") not in ("", "0")
 
 
-class _PhaseTimer:
-    """start_timer!/end_timer! analog (reference uses ark-std timers with
-    the print-trace feature, SURVEY §5); enabled via SPECTRE_TRACE=1."""
-
-    def __init__(self):
-        import time
-        self._time = time.time
-        self.t0 = self._time()
-        self.last = self.t0
-
-    def __call__(self, phase: str):
-        if not _TRACE:
-            return
-        now = self._time()
-        print(f"[prover +{now - self.t0:7.1f}s] {phase} "
-              f"(+{now - self.last:.1f}s)", flush=True)
-        self.last = now
+from ..metrics import PhaseRecorder as _PhaseTimer  # noqa: E402 — the
+# ark-std timer analog now lives in metrics.py; create_proof publishes its
+# per-phase report under the "create_proof" task for RPC/CLI surfacing
 
 
 def _det_rand(seed: bytes, i: int) -> int:
@@ -607,7 +593,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     usable = cs.usable_rows(n)
     n_blind = n - usable - 1
 
-    tm = _PhaseTimer()
+    tm = _PhaseTimer("create_proof")
     from .transcript import KeccakTranscript, PoseidonTranscript
     t = {"keccak": KeccakTranscript,
          "poseidon": PoseidonTranscript,
@@ -1002,6 +988,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     else:
         _gwc_open(t, srs, eval_claims)
     tm("multiopen")
+    tm.publish()
     return Proof(t.proof())
 
 

@@ -92,17 +92,35 @@ def _cmd_circuit(args) -> int:
                            f"{args.proof}_{args.spec}_pk.pkl")
     pin_path = os.path.join(args.config_path,
                             f"{args.proof}_{args.spec}.json")
+    compressed = args.proof.endswith("-compressed")
 
     if args.command == "setup":
         srs = kzg.cached_srs(args.k)
         pk = cls.create_pk(spec, args.k, srs, pk_path=pk_path,
                            pinning_path=pin_path)
-        print(json.dumps({
+        out = {
             "status": "ok", "k": args.k, "pk": pk_path, "pinning": pin_path,
             "n_advice": len(pk.vk.cs.advice),
             "n_fixed": len(pk.vk.cs.fixed),
             "n_lookups": len(pk.vk.cs.lookups),
-        }))
+        }
+        if compressed:
+            # aggregation keygen from a dummy inner snark (cli.rs:164-205)
+            from ..circuits.aggregation import (AggregationCircuit,
+                                                AggregationInput)
+            srs_a = kzg.cached_srs(args.agg_k)
+            dummy = AggregationCircuit.dummy_input(
+                cls, spec, args.k, srs, pk_path=pk_path)
+            agg_pk_path = os.path.join(
+                args.build_dir, f"{args.proof}_{args.spec}_agg_pk.pkl")
+            agg_pin = os.path.join(
+                args.config_path, f"{args.proof}_verifier_{args.spec}.json")
+            AggregationCircuit.create_pk(
+                spec, args.agg_k, srs_a, pk_path=agg_pk_path,
+                pinning_path=agg_pin, witness=dummy)
+            out.update(agg_k=args.agg_k, agg_pk=agg_pk_path,
+                       agg_pinning=agg_pin)
+        print(json.dumps(out))
         return 0
 
     if args.command == "prove":
@@ -119,6 +137,38 @@ def _cmd_circuit(args) -> int:
         pk = cls.create_pk(spec, args.k, srs, pk_path=pk_path,
                            pinning_path=pin_path, witness=witness)
         t0 = time.time()
+        if compressed:
+            # production shape (rpc.rs:144-160): inner snark -> aggregation
+            # EVM proof -> calldata
+            from ..circuits.aggregation import (AggregationCircuit,
+                                                AggregationInput)
+            srs_a = kzg.cached_srs(args.agg_k)
+            inner_proof, inner_inst = cls.gen_snark(pk, spec, srs, witness)
+            agg_in = AggregationInput(pk.vk, inner_proof.data, inner_inst)
+            agg_pk_path = os.path.join(
+                args.build_dir, f"{args.proof}_{args.spec}_agg_pk.pkl")
+            agg_pk = AggregationCircuit.create_pk(
+                spec, args.agg_k, srs_a, pk_path=agg_pk_path,
+                witness=agg_in)
+            proof, instances = AggregationCircuit.gen_evm_proof(
+                agg_pk, spec, srs_a, agg_in)
+            dt = time.time() - t0
+            from ..plonk.verifier import verify_proof as _vp
+            from ..circuits.aggregation import ACC_INDICES
+            ok = _vp(agg_pk.vk, srs_a, proof, instances,
+                     transcript="keccak", accumulator_indices=ACC_INDICES)
+            calldata = AggregationCircuit.write_calldata(
+                instances, proof,
+                path=args.out or os.path.join(
+                    args.build_dir, f"{args.proof}_{args.spec}.calldata"))
+            out = {"status": "ok" if ok else "verify-failed",
+                   "proof_bytes": len(proof.data),
+                   "calldata_bytes": len(calldata),
+                   "prove_seconds": round(dt, 2),
+                   "instances": [[hex(v) for v in col]
+                                 for col in instances]}
+            print(json.dumps(out))
+            return 0 if ok else 4
         proof, instances = cls.gen_proof(pk, spec, srs, witness)
         dt = time.time() - t0
         ok = cls.verify(pk, srs, proof, instances)
@@ -134,16 +184,33 @@ def _cmd_circuit(args) -> int:
         return 0 if ok else 4
 
     if args.command == "gen-verifier":
-        # EVM verifier bytecode from the cached PK (cli.rs:244-271 analog)
+        # EVM verifier bytecode from the cached PK (cli.rs:244-271 analog);
+        # compressed circuits emit the AGGREGATION verifier (the on-chain
+        # artifact) with accumulator folding
         srs = kzg.cached_srs(args.k)
         pk = cls.create_pk(spec, args.k, srs, pk_path=pk_path,
                            pinning_path=pin_path)
-        witness = cls.default_witness(spec)
-        builder = cls.build(witness, spec)
+        acc = None
+        if compressed:
+            from ..circuits.aggregation import (ACC_INDICES,
+                                                AggregationCircuit)
+            srs_a = kzg.cached_srs(args.agg_k)
+            dummy = AggregationCircuit.dummy_input(
+                cls, spec, args.k, srs, pk_path=pk_path)
+            agg_pk_path = os.path.join(
+                args.build_dir, f"{args.proof}_{args.spec}_agg_pk.pkl")
+            pk = AggregationCircuit.create_pk(
+                spec, args.agg_k, srs_a, pk_path=agg_pk_path, witness=dummy)
+            builder = AggregationCircuit.build(dummy, spec)
+            srs, cls_, acc = srs_a, AggregationCircuit, ACC_INDICES
+        else:
+            cls_ = cls
+            builder = cls.build(cls.default_witness(spec), spec)
         inst_shape = [len(c) for c in builder.instances()]
         out_path = args.out or os.path.join(
             args.build_dir, f"{args.proof}_{args.spec}_verifier.bin")
-        code = cls.gen_evm_verifier(pk, srs, inst_shape, path=out_path)
+        code = cls_.gen_evm_verifier(pk, srs, inst_shape, path=out_path,
+                                     accumulator_indices=acc)
         print(json.dumps({
             "status": "ok", "verifier": out_path,
             "bytecode_bytes": len(code),
@@ -171,6 +238,8 @@ def build_parser() -> argparse.ArgumentParser:
         "sync-step", "sync-step-compressed", "committee-update"])
     c.add_argument("command", choices=["setup", "prove", "gen-verifier"])
     c.add_argument("-k", type=int, default=20)
+    c.add_argument("-K", "--agg-k", type=int, default=17,
+                   help="aggregation circuit degree (compressed proofs)")
     c.add_argument("--spec", default="testnet",
                    choices=["minimal", "testnet", "mainnet"])
     c.add_argument("--config-path", default="./config")

@@ -82,9 +82,11 @@ async def _handle(state: ProverState, method: str, params) -> dict:
             raise RpcError(JSONRPC_INTERNAL, "instance mismatch")
         if not cls.verify(pk, state.srs(k), proof, got):
             raise RpcError(JSONRPC_INTERNAL, "self-verify failed")
+        from ..metrics import last_report
         return {
             "proof": list(proof.data),
             "instances": [[hex(v) for v in col] for col in got],
+            "timings": last_report("create_proof"),
         }
 
     loop = asyncio.get_running_loop()

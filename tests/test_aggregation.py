@@ -106,3 +106,21 @@ def test_aggregation_circuit_mock_verifies(agg_built):
         else:
             cols.append(spec.encode_batch(inst_cols[ii])); ii += 1
     assert MockProver(cs, n, cols).verify() == []
+
+
+def test_app_circuit_adapter(tmp_path):
+    """AggregationCircuit AppCircuit adapter: dummy_input (gen_dummy_snark
+    flow, cli.rs:164-183) -> build -> instance parity with the native
+    accumulator mirror. Mock-level (real proves run on the TPU queue)."""
+    from spectre_tpu.circuits.aggregation import (
+        AggregationCircuit, AggregationInput, aggregation_instances)
+    from spectre_tpu.poly import kzg
+    from tests.test_app_lifecycle import ToyCircuit, K
+
+    srs = kzg.test_srs(K)
+    dummy = AggregationCircuit.dummy_input(ToyCircuit, None, K, srs)
+    assert isinstance(dummy, AggregationInput)
+    b = AggregationCircuit.build(dummy, None)
+    want = aggregation_instances(dummy.vk_inner, dummy.proof,
+                                 dummy.instances)
+    assert b.instances() == want
