@@ -14,6 +14,7 @@ baseline in msm.py) + O(W·2^c) host adds.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -247,11 +248,13 @@ def commit_dev_many(points_enc, scalars_plain, curve: str = "bn254_g1"):
     S = jnp.asarray(scalars_plain)
     C = S.shape[0]
     N = X.shape[0]
-    # flat kernel with a memory-scaled chunk width; single-column batches
-    # and very large N use the per-window kernel (already compiled for the
-    # single-commit path — fewer distinct tunnel compiles)
+    # measured on the v5e: the flat kernel's lower dispatch depth does NOT
+    # beat the per-window kernel's 4x wider column batch (the padded limb
+    # axis makes both memory-bound), so the 32-wide fori kernel is the
+    # default; SPECTRE_FLAT_MSM=1 opts into the flat variant
     width = _flat_width(N)
-    if N <= _FLAT_MAX_N and width > 1:
+    if (os.environ.get("SPECTRE_FLAT_MSM") == "1"
+            and N <= _FLAT_MAX_N and width > 1):
         fn = _commit_flat_many_jit(curve)
     else:
         width = _CHUNK

@@ -39,6 +39,15 @@ class ProverState:
         self.semaphore = asyncio.Semaphore(self.concurrency)
         self._pks = {}
         self._srs = {}
+        self._sched = None
+
+    @property
+    def scheduler(self):
+        """Device-pool proof scheduler (lazy: workers bind JAX devices)."""
+        if self._sched is None:
+            from .scheduler import ProofScheduler
+            self._sched = ProofScheduler(n_workers=self.concurrency)
+        return self._sched
 
     def srs(self, k: int):
         from ..poly import kzg
@@ -90,6 +99,15 @@ async def _handle(state: ProverState, method: str, params) -> dict:
         }
 
     loop = asyncio.get_running_loop()
+
+    async def run_on_pool(kind, args, instances):
+        """Submit to the device-pool scheduler; await without blocking
+        the event loop (tokio-semaphore analog with a worker per device)."""
+        jid = state.scheduler.submit(
+            kind, lambda: prove(kind, args, instances))
+        return await loop.run_in_executor(
+            None, state.scheduler.wait, jid)
+
     if method == "genEvmProof_SyncStepCompressed":
         async with state.semaphore:
             p = params[0] if isinstance(params, list) else params
@@ -100,16 +118,14 @@ async def _handle(state: ProverState, method: str, params) -> dict:
                 state.spec,
             )
             instances = sync_step_instances(args)
-            return await loop.run_in_executor(
-                None, prove, "step", args, instances)
+            return await run_on_pool("step", args, instances)
     if method == "genEvmProof_CommitteeUpdateCompressed":
         async with state.semaphore:
             p = params[0] if isinstance(params, list) else params
             args = rotation_args_from_update(
                 p["light_client_update"], state.spec)
             instances = committee_update_instances(args)
-            return await loop.run_in_executor(
-                None, prove, "committee", args, instances)
+            return await run_on_pool("committee", args, instances)
     raise RpcError(JSONRPC_METHOD_NOT_FOUND, f"unknown method {method}")
 
 
