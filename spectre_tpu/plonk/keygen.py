@@ -87,6 +87,13 @@ class ProvingKey:
             self._dev[key] = V.intt_dev(self.dev_sigma(gi), self.vk.k)
         return self._dev[key]
 
+    def drop_eval_forms(self):
+        """Free device eval-form caches (fixed + sigma evals); the prover
+        calls this once it only needs coefficient forms."""
+        for key in [k for k in self._dev
+                    if k[0] in ("fixed", "sigma")]:
+            del self._dev[key]
+
     def prefill_fixed(self):
         """Batch-upload all fixed columns in one transfer."""
         from ..poly import fr_vec as V

@@ -249,6 +249,8 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
     total = None
     for canon, members in groups.items():
         R = max(1, len(members[0][1]))
+        rows = int(get_col(members[0][1][0]).shape[0]) if members[0][1] \
+            else 0
         if R > _COMPILE_MAX_REFS or _expr_nodes(canon) > 1500:
             # oversized expr: interpret (compiling it OOMs the tunnel XLA)
             vals = [_eval_expr_interp(p, get_col, rot_unit)
@@ -259,9 +261,10 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
             total = part if total is None else V._add_fold_jit()(
                 total, part)
             continue
-        # member chunk scales down with ref count: the stacked input is
-        # (G, R, n_ext, NL), so bound G*R
-        gw = min(_GROUP_W, max(1, 64 // R))
+        # member chunk scales down with ref count AND row count: the
+        # stacked input is (G, R, n_ext, NL) at ~512 padded bytes/row
+        budget_cols = max(1, (1 << 28) // max(rows * 512, 1))
+        gw = min(_GROUP_W, max(1, budget_cols // R))
         for off in range(0, len(members), gw):
             blk = members[off:off + gw]
             G = 1 << max(0, (len(blk) - 1).bit_length())
@@ -797,6 +800,12 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         if gidx not in coeffs_cache:
             coeffs_cache[gidx] = V.intt_dev(dev_cols[gidx], k)
         return coeffs_cache[gidx]
+
+    # eval-form columns are no longer needed: every later stage (quotient,
+    # evaluations, multiopen) works from coefficient forms. Freeing them
+    # returns ~40% of the column HBM before the memory-peak quotient stage.
+    dev_cols.clear()
+    pk.drop_eval_forms()
 
     coset = _CosetCache(coeffs_of, ext_k)
 

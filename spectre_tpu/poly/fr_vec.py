@@ -192,13 +192,18 @@ _WSUM_CHUNK = 64
 
 def weighted_sum_cols(cols, weights):
     """sum_i weights[i] * cols[i] for device (n, NL) Montgomery columns and
-    python-int weights, in ceil(P/64) device calls (vs P sequential axpys).
-    Returns (n, NL) Montgomery, amplitude < 2."""
+    python-int weights, chunked (row-aware: the padded limb axis costs
+    ~512 B/row, so long columns use narrower stacks). Returns (n, NL)
+    Montgomery, amplitude < 2."""
     P = len(cols)
     assert P == len(weights) and P > 0
+    rows = int(cols[0].shape[0])
+    chunk = max(4, min(_WSUM_CHUNK, (1 << 28) // max(rows * 512, 1)))
+    chunk = 1 << max(0, (chunk - 1).bit_length() - 1) \
+        if chunk & (chunk - 1) else chunk
     acc = None
-    for off in range(0, P, _WSUM_CHUNK):
-        blk = list(cols[off:off + _WSUM_CHUNK])
+    for off in range(0, P, chunk):
+        blk = list(cols[off:off + chunk])
         w = [spec.encode(x) for x in weights[off:off + len(blk)]]
         # pad to a power of two with zero weights: few program shapes
         width = 1 << max(0, (len(blk) - 1).bit_length())
