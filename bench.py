@@ -30,7 +30,9 @@ def bench_msm():
     from spectre_tpu.poly import kzg
     from spectre_tpu.poly.msm_pippenger import commit_dev
 
-    k = 20
+    # 2^18 fixed base: big enough to saturate the chip, small enough that
+    # the deterministic test SRS generates/loads in minutes not hours
+    k = int(os.environ.get("SPECTRE_BENCH_MSM_K", "18"))
     n = 1 << k
     srs = kzg.cached_srs(k)
     enc = kzg._lag_enc_dev(srs)
