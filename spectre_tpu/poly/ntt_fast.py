@@ -21,16 +21,16 @@ from .domain import Domain
 
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles_t(k: int, inverse: bool):
-    """Per-stage twiddle tables tiled to length n/2, transposed, on device."""
+    """Per-stage COMPACT twiddle tables (m/2, n_limbs) transposed, on
+    device. Tiling to n/2 happens inside the jit per stage: resident
+    twiddle memory is Σ m/2 = n entries (~100 MB at 2^23) instead of the
+    k·n/2 (~9 GB at 2^23) the pre-tiled variant held."""
     dom = Domain(k)
-    spec = dom.spec
     tables = dom.twiddles_inv if inverse else dom.twiddles_fwd
     out = []
     for s in range(1, k + 1):
-        m = 1 << s
         tw = np.asarray(tables[s - 1])          # (m/2, n_limbs)
-        tiled = np.tile(tw, (dom.n // m, 1))    # (n/2, n_limbs)
-        out.append(jax.device_put(np.ascontiguousarray(tiled.T)))
+        out.append(jax.device_put(np.ascontiguousarray(tw.T)))
     return out
 
 
@@ -52,7 +52,8 @@ def _ntt_t_jit(k: int, inverse: bool, scale: bool):
             x = a.reshape(spec.n_limbs, n // m, m)
             even = x[:, :, :half].reshape(spec.n_limbs, n // 2)
             odd = x[:, :, half:].reshape(spec.n_limbs, n // 2)
-            lo, hi = bf(tables[s - 1], odd, even)
+            tw = jnp.tile(tables[s - 1], (1, n // m))  # (nl, n/2) transient
+            lo, hi = bf(tw, odd, even)
             x = jnp.concatenate(
                 [lo.reshape(spec.n_limbs, n // m, half),
                  hi.reshape(spec.n_limbs, n // m, half)], axis=2)
