@@ -8,8 +8,17 @@ the CPU mesh (running unit tests over the TPU tunnel is both slow and
 contends with real benchmarking).
 """
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Drop the axon sitecustomize for CPU test runs entirely: its
+# get_backend hook initializes the tunnel TPU client even under
+# JAX_PLATFORMS=cpu, and hangs the whole suite if the tunnel is down.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and ".axon_site" not in p)
+sys.modules.pop("axon", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
