@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     t0 = time.time()
     from spectre_tpu.specs import MINIMAL
     from spectre_tpu.test_utils import (generate_spec_test_fixture,

@@ -1,0 +1,183 @@
+"""Transposed-limb-layout field ops: limbs on axis -2, rows on axis -1.
+
+WHY (measured, ARCHITECTURE.md "limb-layout ceiling"): the default (n, NL)
+layout tiles as T(8,128) and pads the 24-limb minor axis to 128 lanes —
+~512 bytes per cell, a 5.3x HBM waste that caps circuit size (StepCircuit's
+20M cells cannot fit). With limbs on sublanes ((NL, n): 24 = 3x8 sublanes,
+rows on lanes) residency drops to ~96 B/cell and memory-bound kernels gain
+the same factor in effective bandwidth.
+
+This module is the transposed counterpart of fields/limb.py's device ops —
+same schoolbook + scatter-free REDC + lazy-amplitude algebra, re-indexed to
+axis -2. The prover pipeline migrates onto it incrementally (round-3 work);
+parity with the AoS ops is pinned in tests/test_limb_t.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import limb as L
+
+LAX = -2   # limb axis
+
+
+def to_t(a):
+    """(..., n, NL) -> (..., NL, n)."""
+    return jnp.swapaxes(a, -1, -2)
+
+
+def from_t(a):
+    return jnp.swapaxes(a, -1, -2)
+
+
+def _shift_up_t(c):
+    """Shift carries one limb position up along axis -2."""
+    pad = [(0, 0)] * c.ndim
+    pad[-2] = (1, 0)
+    return jnp.pad(c[..., :-1, :], pad)
+
+
+def carry_relax_t(spec: L.FieldSpec, t, passes: int = 2):
+    mask = spec.B - 1
+    sh = spec.limb_bits
+    for _ in range(passes):
+        c = t >> sh
+        t = (t & mask) + _shift_up_t(c)
+    return t
+
+
+def _relax_signed_t(spec: L.FieldSpec, t, passes: int):
+    mask = spec.B - 1
+    sh = spec.limb_bits
+    for _ in range(passes):
+        c = t >> sh
+        low = jnp.concatenate(
+            [t[..., :-1, :] & mask, t[..., -1:, :]], axis=-2)
+        t = low + _shift_up_t(c)
+    return t
+
+
+def carry_exact_t(spec: L.FieldSpec, t):
+    """Exact carry propagation (log-depth scan along the limb axis)."""
+    t = _relax_signed_t(spec, t, passes=3)
+    sh = spec.limb_bits
+    mask = spec.B - 1
+    fm = (t - 1) >> sh
+    f0 = t >> sh
+    fp = (t + 1) >> sh
+
+    def compose(a, b):
+        am, a0, ap = a
+        bm, b0, bp = b
+
+        def app(x):
+            return jnp.where(x == -1, bm, jnp.where(x == 0, b0, bp))
+
+        return (app(am), app(a0), app(ap))
+
+    _, s0, _ = jax.lax.associative_scan(compose, (fm, f0, fp), axis=-2)
+    v = t + _shift_up_t(s0)
+    return jnp.concatenate([v[..., :-1, :] & mask, v[..., -1:, :]], axis=-2)
+
+
+def schoolbook_t(spec: L.FieldSpec, a, b):
+    """(…, n, R) x (…, n, R) -> (…, 2n+1, R) full product."""
+    n = spec.n_limbs
+    parts = []
+    for i in range(n):
+        pad = [(0, 0)] * a.ndim
+        pad[-2] = (i, n + 1 - i)
+        parts.append(jnp.pad(a[..., i:i + 1, :] * b, pad))
+    t = parts[0]
+    for p in parts[1:]:
+        t = t + p
+    return t
+
+
+def redc_t(spec: L.FieldSpec, t, unroll: bool | None = None):
+    n = spec.n_limbs
+    mask = spec.B - 1
+    sh = spec.limb_bits
+    n0inv = jnp.int32(spec.n0inv)
+    p0 = jnp.int32(int(spec.p_limbs[0]))
+    rows = jnp.asarray(spec.p_shift_rows)       # (n, 2n+1)
+    c = jnp.zeros(t.shape[:-2] + t.shape[-1:], jnp.int32)
+    if unroll is None:
+        unroll = L.REDC_UNROLL
+
+    if unroll:
+        for i in range(n):
+            v = t[..., i, :] + c
+            m = (v & mask) * n0inv & mask
+            t = t + m[..., None, :] * rows[i][:, None]
+            c = (v + m * p0) >> sh
+    else:
+        def body(carry, xs):
+            t, c = carry
+            row, i = xs
+            v = jnp.take(t, i, axis=-2) + c
+            t = t + (((jnp.take(t, i, axis=-2) + c) & mask) * n0inv
+                     & mask)[..., None, :] * row[:, None]
+            m = (v & mask) * n0inv & mask
+            c = (v + m * p0) >> sh
+            return (t, c), None
+
+        (t, c), _ = jax.lax.scan(
+            body, (t, c), (rows, jnp.arange(n, dtype=jnp.int32)))
+    r = t[..., n:2 * n, :]
+    r = jnp.concatenate([r[..., :1, :] + c[..., None, :], r[..., 1:, :]],
+                        axis=-2)
+    return carry_relax_t(spec, r, passes=2)
+
+
+@functools.lru_cache(maxsize=None)
+def make_ops_t(spec_name: str):
+    """Transposed op namespace for the named spec ('fr', 'fq', ...)."""
+    spec = {"bn254_fr": L.fr_spec, "bn254_fq": L.fq_spec}.get(
+        spec_name) or getattr(L, spec_name + "_spec")
+
+    def _i32(x):
+        return jnp.asarray(x, jnp.int32)
+
+    @jax.jit
+    def mont_mul(a, b):
+        return redc_t(spec, schoolbook_t(spec, _i32(a), _i32(b)))
+
+    @jax.jit
+    def add(a, b):
+        return carry_relax_t(spec, _i32(a) + _i32(b), passes=1)
+
+    @functools.partial(jax.jit, static_argnames=("amplitude",))
+    def sub(a, b, amplitude: int = 1):
+        kp = jnp.asarray(
+            L.int_to_limbs(amplitude * spec.p, spec.limb_bits,
+                           spec.n_limbs))[:, None]
+        return carry_relax_t(spec, _i32(a) - _i32(b) + kp, passes=2)
+
+    one_m = jnp.asarray(np.asarray(spec.one_mont))[:, None]
+
+    @jax.jit
+    def fold(a):
+        return redc_t(spec, schoolbook_t(
+            spec, _i32(a), jnp.broadcast_to(one_m, a.shape)))
+
+    @functools.partial(jax.jit, static_argnames=("amplitude",))
+    def canon(a, amplitude: int = 2):
+        """Reduce amplitude-bounded limbs to canonical (< p)."""
+        v = carry_exact_t(spec, a)
+        for k in (amplitude, max(1, amplitude // 2), 1):
+            kp = jnp.asarray(
+                L.int_to_limbs(k * spec.p, spec.limb_bits,
+                               spec.n_limbs))[:, None]
+            d = carry_exact_t(spec, v - kp)
+            v = jnp.where(d[..., -1:, :] < 0, v, d)
+        return v
+
+    import types
+    return types.SimpleNamespace(
+        spec=spec, mont_mul=mont_mul, add=add, sub=sub, fold=fold,
+        canon=canon)
