@@ -183,3 +183,75 @@ class CurveOps:
 
 bn254_g1_ops = CurveOps(L.fq_spec, 3, "bn254_g1")
 bls_g1_ops = CurveOps(L.bls_fq_spec, 4, "bls12_381_g1")
+
+
+class CurveOpsT:
+    """Transposed-layout projective curve ops (limbs on axis -2).
+
+    Same RCB complete formulas as CurveOps, over fields/limb_t ops — the
+    layout the round-3 MSM/prover migration targets (zero lane padding;
+    see ARCHITECTURE.md). Coordinates are (..., NL, n) tensors."""
+
+    def __init__(self, spec: L.FieldSpec, b: int, name: str = ""):
+        from ..fields.limb_t import make_ops_t
+        self.spec = spec
+        self.name = name
+        self.b = b
+        self.ops = make_ops_t(spec.name)
+        self.b3_mont_t = np.asarray(spec.encode(3 * b))[:, None]
+        self.one_mont_t = np.asarray(spec.one_mont)[:, None]
+
+    def padd_graph(self, P, Q):
+        o = self.ops
+        mul, add = o.mont_mul, o.add
+        sub = functools.partial(o.sub, amplitude=8)
+        b3 = jnp.asarray(self.b3_mont_t)
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        t0 = mul(X1, X2)
+        t1 = mul(Y1, Y2)
+        t2 = mul(Z1, Z2)
+        t3 = mul(add(X1, Y1), add(X2, Y2))
+        t3 = sub(t3, add(t0, t1))
+        t4 = mul(add(Y1, Z1), add(Y2, Z2))
+        t4 = sub(t4, add(t1, t2))
+        X3 = mul(add(X1, Z1), add(X2, Z2))
+        Y3 = sub(X3, add(t0, t2))
+        X3 = add(add(t0, t0), t0)
+        t2 = mul(b3, t2)
+        Z3 = add(t1, t2)
+        t1 = sub(t1, t2)
+        Y3 = mul(b3, Y3)
+        X3_new = sub(mul(t3, t1), mul(t4, Y3))
+        Y3_new = add(mul(Y3, X3), mul(t1, Z3))
+        Z3_new = add(mul(Z3, t4), mul(X3, t3))
+        return (X3_new, Y3_new, Z3_new)
+
+    def pdbl_graph(self, P):
+        o = self.ops
+        mul, add = o.mont_mul, o.add
+        sub = functools.partial(o.sub, amplitude=8)
+        b3 = jnp.asarray(self.b3_mont_t)
+        X, Y, Z = P
+        t0 = mul(Y, Y)
+        two = add(t0, t0)
+        four = add(two, two)
+        Z3 = add(four, four)
+        t1 = mul(Y, Z)
+        t2 = mul(b3, mul(Z, Z))
+        X3 = mul(t2, Z3)
+        Y3 = add(t0, t2)
+        Z3 = mul(t1, Z3)
+        t1 = add(t2, t2)
+        t2 = add(t1, t2)
+        t0 = sub(t0, t2)
+        Y3 = mul(t0, Y3)
+        Y3 = add(X3, Y3)
+        t1 = mul(X, Y)
+        X3 = mul(t0, t1)
+        X3 = add(X3, X3)
+        return (X3, Y3, Z3)
+
+
+bn254_g1_ops_t = CurveOpsT(L.fq_spec, 3, "bn254_g1")
+bls_g1_ops_t = CurveOpsT(L.bls_fq_spec, 4, "bls12_381_g1")

@@ -137,8 +137,9 @@ def redc_t(spec: L.FieldSpec, t, unroll: bool | None = None):
 @functools.lru_cache(maxsize=None)
 def make_ops_t(spec_name: str):
     """Transposed op namespace for the named spec ('fr', 'fq', ...)."""
-    spec = {"bn254_fr": L.fr_spec, "bn254_fq": L.fq_spec}.get(
-        spec_name) or getattr(L, spec_name + "_spec")
+    spec = {"bn254_fr": L.fr_spec, "bn254_fq": L.fq_spec,
+            "bls12_381_fq": L.bls_fq_spec,
+            "bls12_381_fr": L.bls_fr_spec}[spec_name]
 
     def _i32(x):
         return jnp.asarray(x, jnp.int32)

@@ -71,3 +71,27 @@ def test_canon_parity(vals):
            for x in spec.decode_plain_batch(
                np.asarray(T.from_t(v)))]
     assert got == want
+
+
+def test_transposed_curve_add_parity(rng):
+    """CurveOpsT complete addition/doubling vs the host curve oracle."""
+    import functools
+    from spectre_tpu.curves import host as H
+    from spectre_tpu.curves.limbjax import bn254_g1_ops, bn254_g1_ops_t
+    pts = [H.bn254_g1.mul(H.bn254_g1.gen, rng.randrange(1, FR))
+           for _ in range(6)]
+    X, Y, Z = bn254_g1_ops.encode_points(pts)       # (6, NL) each
+    Pt = tuple(jnp.asarray(c).T for c in (X, Y, Z))  # (NL, 6)
+    A = tuple(c[:, :3] for c in Pt)
+    B = tuple(c[:, 3:] for c in Pt)
+    S = bn254_g1_ops_t.padd_graph(A, B)
+    D = bn254_g1_ops_t.pdbl_graph(A)
+    # decode through the AoS decoder after transposing back
+    got_sum = bn254_g1_ops.decode_points(
+        tuple(np.asarray(c).T for c in S))
+    got_dbl = bn254_g1_ops.decode_points(
+        tuple(np.asarray(c).T for c in D))
+    want_sum = [H.bn254_g1.add(p, q) for p, q in zip(pts[:3], pts[3:])]
+    want_dbl = [H.bn254_g1.add(p, p) for p in pts[:3]]
+    assert got_sum == want_sum
+    assert got_dbl == want_dbl
