@@ -373,3 +373,108 @@ def msm_pippenger(points, scalars, curve: str = "bn254_g1",
                 win_sum = hcurve.add(win_sum, acc)
         total = hcurve.add(total, win_sum)
     return total
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout commit kernel ((NL, N) coords — zero lane padding; the
+# round-3 default once the column pipeline migrates; see ARCHITECTURE.md).
+# Same per-window sorted-bucket algorithm as _commit_core.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _commit_core_t(curve_name: str):
+    from ..curves.limbjax import bn254_g1_ops_t, bls_g1_ops_t
+    cops = {"bn254_g1": bn254_g1_ops_t,
+            "bls12_381_g1": bls_g1_ops_t}[curve_name]
+    nlq = cops.spec.n_limbs
+    n_windows = L.fr_spec.n_limbs
+
+    def combine(a, b):
+        ax, ay, az, af = a
+        bx, by, bz, bf = b
+        sx, sy, sz = cops.padd_graph((ax, ay, az), (bx, by, bz))
+        keep = bf.astype(bool)
+        return (jnp.where(keep, bx, sx),
+                jnp.where(keep, by, sy),
+                jnp.where(keep, bz, sz),
+                af | bf)
+
+    def tree_reduce_lanes(P, n):
+        X, Y, Z = P
+        while n > 1:
+            half = n // 2
+            odd = None
+            if n % 2 == 1:
+                odd = tuple(c[..., n - 1:n] for c in (X, Y, Z))
+            lo = tuple(c[..., :half] for c in (X, Y, Z))
+            hi = tuple(c[..., half:2 * half] for c in (X, Y, Z))
+            X, Y, Z = cops.padd_graph(lo, hi)
+            if odd is not None:
+                X = jnp.concatenate([X, odd[0]], axis=-1)
+                Y = jnp.concatenate([Y, odd[1]], axis=-1)
+                Z = jnp.concatenate([Z, odd[2]], axis=-1)
+            n = half + (1 if odd is not None else 0)
+        return (X, Y, Z)
+
+    def f(Xt, Yt, Zt, S):
+        """Xt/Yt/Zt (NL, N) transposed Montgomery coords; S (N, 24) plain
+        digit limbs -> one point as (NL, 1) coords."""
+        N = Xt.shape[1]
+        one = jnp.asarray(np.asarray(cops.spec.one_mont))[:, None]
+        ident = (jnp.zeros((nlq, 1), jnp.int32), one,
+                 jnp.zeros((nlq, 1), jnp.int32))
+        ident_rows = tuple(jnp.broadcast_to(c, (nlq, N_BUCKETS))
+                           for c in ident)
+
+        def body(i, tot):
+            w = n_windows - 1 - i
+            keys = jax.lax.dynamic_index_in_dim(S, w, axis=1,
+                                                keepdims=False)
+            order = jnp.argsort(keys)
+            sk = keys[order]
+            Ps = (Xt[:, order], Yt[:, order], Zt[:, order])
+            flags = jnp.concatenate(
+                [jnp.ones(1, jnp.int32),
+                 (sk[1:] != sk[:-1]).astype(jnp.int32)])[None, :]
+            sx, sy, sz, _ = jax.lax.associative_scan(
+                combine, Ps + (flags,), axis=-1)
+            mask_last = jnp.concatenate(
+                [flags[0, 1:], jnp.ones(1, jnp.int32)]).astype(bool)[None, :]
+            bucket = []
+            for c in (sx, sy, sz):
+                bucket.append(jnp.zeros((nlq, N_BUCKETS), jnp.int32)
+                              .at[:, sk].add(jnp.where(mask_last, c, 0)))
+            cnt = (jnp.zeros(N_BUCKETS, jnp.int32)
+                   .at[sk].add(mask_last[0].astype(jnp.int32)))
+            present = (cnt > 0) & (jnp.arange(N_BUCKETS) != 0)
+            B = tuple(jnp.where(present[None, :], b, ir)
+                      for b, ir in zip(bucket, ident_rows))
+            T = jax.lax.associative_scan(
+                lambda a, b: cops.padd_graph(a, b), B, axis=1,
+                reverse=True)
+            T1 = tuple(jnp.concatenate([c[:, 1:], ir], axis=-1)
+                       for c, ir in zip(T, ident))
+            win = tree_reduce_lanes(T1, N_BUCKETS)
+            for _ in range(C_BITS):
+                tot = cops.pdbl_graph(tot)
+            return cops.padd_graph(tot, win)
+
+        return jax.lax.fori_loop(0, n_windows, body, ident)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_t_jit(curve_name: str):
+    return jax.jit(_commit_core_t(curve_name))
+
+
+def commit_dev_t(points_enc_t, scalars_plain, curve: str = "bn254_g1"):
+    """Transposed-layout device MSM: (NL, N) coords + (N, 24) digits ->
+    affine host point | None."""
+    cops = CURVES[curve][0]
+    Xt, Yt, Zt = points_enc_t
+    with L.compact_redc():
+        out = _commit_t_jit(curve)(Xt, Yt, Zt, jnp.asarray(scalars_plain))
+    coords = tuple(np.asarray(c).T for c in out)       # (1, NL)
+    return cops.decode_points(coords)[0]

@@ -95,3 +95,20 @@ def test_transposed_curve_add_parity(rng):
     want_dbl = [H.bn254_g1.add(p, p) for p in pts[:3]]
     assert got_sum == want_sum
     assert got_dbl == want_dbl
+
+
+@pytest.mark.slow
+def test_transposed_commit_vs_host(rng):
+    """Transposed-layout Pippenger commit (commit_dev_t) vs the host MSM
+    oracle (N=64; slow: kernel compile dominates on CPU)."""
+    from spectre_tpu.curves import host as H
+    from spectre_tpu.curves.limbjax import bn254_g1_ops
+    from spectre_tpu.poly.msm_pippenger import commit_dev_t
+    N = 64
+    pts = [H.bn254_g1.mul(H.bn254_g1.gen, rng.randrange(1, FR))
+           for _ in range(N)]
+    X, Y, Z = bn254_g1_ops.encode_points(pts)
+    enc_t = tuple(jnp.asarray(c).T for c in (X, Y, Z))
+    scalars = [rng.randrange(0, FR) for _ in range(N)]
+    got = commit_dev_t(enc_t, spec.encode_plain_batch(scalars))
+    assert got == H.bn254_g1.msm(pts, scalars)
