@@ -478,3 +478,38 @@ def commit_dev_t(points_enc_t, scalars_plain, curve: str = "bn254_g1"):
         out = _commit_t_jit(curve)(Xt, Yt, Zt, jnp.asarray(scalars_plain))
     coords = tuple(np.asarray(c).T for c in out)       # (1, NL)
     return cops.decode_points(coords)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_t_many_jit(curve_name: str):
+    return jax.jit(jax.vmap(_commit_core_t(curve_name),
+                            in_axes=(None, None, None, 0)))
+
+
+def commit_dev_many_t(points_enc_t, scalars_plain, curve: str = "bn254_g1"):
+    """Batched transposed commits: (NL, N) bases + (C, N, 24) digits ->
+    list of C affine points. Chunk width scales with the (unpadded!)
+    96 B/row footprint — ~5x wider batches than the AoS kernel."""
+    cops = CURVES[curve][0]
+    Xt, Yt, Zt = points_enc_t
+    S = jnp.asarray(scalars_plain)
+    C = S.shape[0]
+    N = Xt.shape[1]
+    width = max(1, min(_CHUNK, (1 << 28) // max(N * 320, 1)))
+    width = 1 << (width.bit_length() - 1)
+    fn = _commit_t_many_jit(curve)
+    outs = []
+    with L.compact_redc():
+        for i in range(0, C, width):
+            blk = S[i:i + width]
+            take = blk.shape[0]
+            if take < width:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((width - take,) + blk.shape[1:],
+                                    blk.dtype)])
+            out = fn(Xt, Yt, Zt, blk)
+            # out coords are (width, NL, 1)
+            outs.append(tuple(
+                np.asarray(c)[:take, :, 0] for c in out))
+    coords = tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
+    return cops.decode_points(coords)

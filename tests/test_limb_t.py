@@ -112,3 +112,19 @@ def test_transposed_commit_vs_host(rng):
     scalars = [rng.randrange(0, FR) for _ in range(N)]
     got = commit_dev_t(enc_t, spec.encode_plain_batch(scalars))
     assert got == H.bn254_g1.msm(pts, scalars)
+
+
+@pytest.mark.slow
+def test_transposed_commit_many_vs_host(rng):
+    from spectre_tpu.curves import host as H
+    from spectre_tpu.curves.limbjax import bn254_g1_ops
+    from spectre_tpu.poly.msm_pippenger import commit_dev_many_t
+    N = 64
+    pts = [H.bn254_g1.mul(H.bn254_g1.gen, rng.randrange(1, FR))
+           for _ in range(N)]
+    X, Y, Z = bn254_g1_ops.encode_points(pts)
+    enc_t = tuple(jnp.asarray(c).T for c in (X, Y, Z))
+    cols = [[rng.randrange(0, FR) for _ in range(N)] for _ in range(3)]
+    got = commit_dev_many_t(
+        enc_t, np.stack([spec.encode_plain_batch(c) for c in cols]))
+    assert got == [H.bn254_g1.msm(pts, c) for c in cols]
