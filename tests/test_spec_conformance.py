@@ -103,3 +103,14 @@ def test_initial_committee_poseidon(fixture_dir):
     assert period == int(
         step_wit.attested_header.slot) // MINIMAL.slots_per_period
     assert poseidon == sync_step_instances(step_wit)[0][1]
+
+
+def test_committed_fixture_loads():
+    """The repo-committed fixture (tests/fixtures/) loads byte-stable —
+    the test_data-in-git role of the reference's golden files."""
+    import os
+    d = os.path.join(os.path.dirname(__file__),
+                     "fixtures", "light_client_sync")
+    step_wit, rot_wit = read_test_files_and_gen_witness(d, MINIMAL)
+    assert sync_step_instances(step_wit)[0][1] == \
+        committee_update_instances(rot_wit)[0][0]
