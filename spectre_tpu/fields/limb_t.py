@@ -140,13 +140,23 @@ def make_ops_t(spec_name: str):
     spec = {"bn254_fr": L.fr_spec, "bn254_fq": L.fq_spec,
             "bls12_381_fq": L.bls_fq_spec,
             "bls12_381_fr": L.bls_fr_spec}[spec_name]
+    n = spec.n_limbs
 
     def _i32(x):
         return jnp.asarray(x, jnp.int32)
 
+    def _kp_col(amplitude: int):
+        return jnp.asarray(
+            L.int_to_limbs(amplitude * spec.p, spec.limb_bits, n))[:, None]
+
     @jax.jit
     def mont_mul(a, b):
         return redc_t(spec, schoolbook_t(spec, _i32(a), _i32(b)))
+
+    @jax.jit
+    def mont_sqr(a):
+        a = _i32(a)
+        return redc_t(spec, schoolbook_t(spec, a, a))
 
     @jax.jit
     def add(a, b):
@@ -154,10 +164,12 @@ def make_ops_t(spec_name: str):
 
     @functools.partial(jax.jit, static_argnames=("amplitude",))
     def sub(a, b, amplitude: int = 1):
-        kp = jnp.asarray(
-            L.int_to_limbs(amplitude * spec.p, spec.limb_bits,
-                           spec.n_limbs))[:, None]
-        return carry_relax_t(spec, _i32(a) - _i32(b) + kp, passes=2)
+        return carry_relax_t(
+            spec, _i32(a) - _i32(b) + _kp_col(amplitude), passes=2)
+
+    @functools.partial(jax.jit, static_argnames=("amplitude",))
+    def neg(a, amplitude: int = 2):
+        return carry_relax_t(spec, _kp_col(amplitude) - _i32(a), passes=2)
 
     one_m = jnp.asarray(np.asarray(spec.one_mont))[:, None]
 
@@ -168,17 +180,39 @@ def make_ops_t(spec_name: str):
 
     @functools.partial(jax.jit, static_argnames=("amplitude",))
     def canon(a, amplitude: int = 2):
-        """Reduce amplitude-bounded limbs to canonical (< p)."""
+        """Reduce amplitude-bounded (a < amplitude*p) limbs to canonical."""
         v = carry_exact_t(spec, a)
-        for k in (amplitude, max(1, amplitude // 2), 1):
-            kp = jnp.asarray(
-                L.int_to_limbs(k * spec.p, spec.limb_bits,
-                               spec.n_limbs))[:, None]
-            d = carry_exact_t(spec, v - kp)
+        k = 1
+        while k < amplitude:
+            k <<= 1
+        k >>= 1
+        ks = []
+        while k >= 1:
+            ks.append(k)
+            k >>= 1
+        for k in ks or [1]:
+            d = carry_exact_t(spec, v - _kp_col(k))
             v = jnp.where(d[..., -1:, :] < 0, v, d)
         return v
 
+    @jax.jit
+    def select(c, a, b):
+        """c ? a : b with c a lane-shaped (..., n_rows) bool array."""
+        return jnp.where(jnp.asarray(c)[..., None, :], _i32(a), _i32(b))
+
+    @functools.partial(jax.jit, static_argnames=("amplitude",))
+    def is_zero(a, amplitude: int = 8):
+        return jnp.all(canon(a, amplitude) == 0, axis=-2)
+
+    @jax.jit
+    def from_mont(a):
+        """Montgomery -> canonical plain limbs (same (NL, n) layout)."""
+        a = _i32(a)
+        one = jnp.zeros_like(a).at[..., 0, :].set(1)
+        return canon(mont_mul(a, one), 2)
+
     import types
     return types.SimpleNamespace(
-        spec=spec, mont_mul=mont_mul, add=add, sub=sub, fold=fold,
-        canon=canon)
+        spec=spec, mont_mul=mont_mul, mont_sqr=mont_sqr, add=add, sub=sub,
+        neg=neg, fold=fold, canon=canon, select=select, is_zero=is_zero,
+        from_mont=from_mont)

@@ -209,6 +209,86 @@ def eval_expr_int(expr: Expr, int_cols) -> np.ndarray:
     raise TypeError(f"unsupported expr for int eval: {expr!r}")
 
 
+def eval_expr_t(expr: Expr, columns, spec: L.FieldSpec = L.fr_spec,
+                challenges=(), amp_budget: int = 16, rot_unit: int = 1):
+    """Transposed-layout evaluator: columns are (NL, n) Montgomery limb
+    tensors (limbs on sublanes, rows on lanes — the prover pipeline's
+    layout); rotations roll the lane axis. Scalars are (NL, 1). Semantics
+    and amplitude discipline identical to eval_expr below."""
+    from ..fields.limb_t import make_ops_t, carry_relax_t
+    ops = make_ops_t(spec.name)
+
+    def enc1(x: int):
+        return jnp.asarray(spec.encode(x))[:, None]
+
+    def batched_sum(terms) -> tuple:
+        bases, weights = [], []
+        for t in terms:
+            if isinstance(t, Scaled):
+                v, a = rec(t.inner)
+                w = t.scalar
+            elif isinstance(t, Const):
+                v, a = enc1(1), 1
+                w = t.value
+            else:
+                v, a = rec(t)
+                w = 1
+            if a > 2:
+                v = ops.fold(v)
+            bases.append(v)
+            weights.append(w)
+        # broadcast (NL, 1) scalar entries up to the full column shape
+        full = next((b.shape for b in bases if b.shape[-1] > 1), None)
+        if full is not None:
+            bases = [jnp.broadcast_to(b, full) if b.shape[-1] == 1 else b
+                     for b in bases]
+        st = jnp.stack(bases)
+        wm = jnp.asarray(np.stack([spec.encode(x)[:, None]
+                                   for x in weights]))
+        wm = wm.reshape((len(terms),) + (1,) * (st.ndim - 3)
+                        + (wm.shape[-2], 1))
+        prod = ops.mont_mul(st, wm)            # amplitude < 2 per row
+        s = prod.sum(axis=0, dtype=jnp.int32)  # amplitude < 2*T (T <= ~128)
+        return ops.fold(s), 2
+
+    def rec(e) -> tuple:
+        if isinstance(e, Const):
+            return enc1(e.value), 1
+        if isinstance(e, Challenge):
+            return jnp.asarray(challenges[e.index]), 1
+        if isinstance(e, ColumnRef):
+            col = columns[e.index]
+            if e.rotation:
+                col = jnp.roll(col, -e.rotation * rot_unit, axis=-1)
+            return col, 2
+        if isinstance(e, Sum):
+            if len(e.terms) >= 6:
+                return batched_sum(e.terms)
+            acc, amp = rec(e.terms[0])
+            for t in e.terms[1:]:
+                v, a = rec(t)
+                acc = carry_relax_t(spec, acc + v, passes=1)
+                amp = amp + a
+                if amp > amp_budget:
+                    acc = ops.fold(acc)
+                    amp = 2
+            return acc, amp
+        if isinstance(e, Prod):
+            acc, amp = rec(e.factors[0])
+            for f in e.factors[1:]:
+                v, a = rec(f)
+                acc = ops.mont_mul(acc, v)
+                amp = 2
+            return acc, amp
+        if isinstance(e, Scaled):
+            v, a = rec(e.inner)
+            return ops.mont_mul(v, enc1(e.scalar)), 2
+        raise TypeError(f"unknown expr {e!r}")
+
+    out, _ = rec(expr)
+    return out
+
+
 def eval_expr(expr: Expr, columns, spec: L.FieldSpec = L.fr_spec,
               challenges=(), amp_budget: int = 16, rot_unit: int = 1):
     # amp_budget capped so products of two folded sums stay inside the REDC

@@ -126,8 +126,8 @@ def _sigma_dev(dom: Domain, map_i: np.ndarray, m: int):
 
 
 def _sigma_dev_many(dom: Domain, maps: np.ndarray, m: int):
-    """(C, n, 2) successor mappings -> (C, n, NL) sigma eval columns in one
-    device call."""
+    """(C, n, 2) successor mappings -> (C, NL, n) transposed sigma eval
+    columns in one device call."""
     import jax
     import jax.numpy as jnp
     from ..poly import fr_vec as V
@@ -136,7 +136,10 @@ def _sigma_dev_many(dom: Domain, maps: np.ndarray, m: int):
 
     @jax.jit
     def f(ti, tj, deltas, omegas):
-        return V.ops.mont_mul(deltas[ti], omegas[tj])
+        # deltas/omegas (NL, m)/(NL, n); ti/tj (C, n) -> (C, NL, n)
+        dv = jnp.moveaxis(jnp.take(deltas, ti, axis=-1), -2, 0)
+        ov = jnp.moveaxis(jnp.take(omegas, tj, axis=-1), -2, 0)
+        return V.ops.mont_mul(dv, ov)
 
     return f(jnp.asarray(maps[..., 0]), jnp.asarray(maps[..., 1]),
              deltas, omegas)

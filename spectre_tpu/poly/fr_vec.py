@@ -3,16 +3,17 @@
 Everything the PLONK prover does to whole polynomials (NTT/coset moves,
 prefix/suffix products, batched inversion, grand products, Horner suffix
 division for KZG openings, point evaluation) runs here as jitted whole-column
-passes over (n, n_limbs) int32 Montgomery limb tensors. The round-1 prover
-did all of this with host python ints (VERDICT "what's missing" #4); this
-module replaces it with device code whose only host roundtrips are single
-scalars (total-product inversions, claimed evaluation values).
+passes over TRANSPOSED (n_limbs, n) int32 Montgomery limb tensors — limbs on
+sublanes (24 = 3x8, zero padding), rows on lanes. The round-1/2 AoS layout
+(n, 24) padded the 24-limb minor axis to 128 lanes (~512 B/cell, 5.3x HBM
+waste; ARCHITECTURE.md "limb-layout ceiling"); this layout cuts residency to
+~96 B/cell and raises effective bandwidth by the same factor, which is what
+lets StepCircuit-sized columns fit 16 GB HBM.
 
-Layout: (n, 24) int32, limbs last (fields.limb convention). The pallas NTT
-(ntt_fast) uses the transposed layout internally; wrappers transpose at that
-boundary only. Sequential-looking recurrences (prefix products, Horner
-division) are log-depth doubling passes — k elementwise passes for 2^k rows,
-no data-dependent control flow (XLA-friendly per SURVEY §7 design stance).
+Layout: a column is (NL, n); a batch of C columns is (C, NL, n); a scalar is
+(NL, 1). Sequential-looking recurrences (prefix products, Horner division)
+are log-depth doubling passes along the lane axis — k elementwise passes for
+2^k rows, no data-dependent control flow (XLA-friendly per SURVEY §7).
 """
 from __future__ import annotations
 
@@ -24,14 +25,19 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import limb as L
+from ..fields.limb_t import make_ops_t, carry_relax_t
 from ..fields.params import BN254_FR as FR
 from ..fields.host import inv_mod
 from .domain import Domain
-from .ntt import ntt as _xla_ntt, intt as _xla_intt
 
 spec = L.fr_spec
-ops = L.make_ops(spec)
+ops = make_ops_t("bn254_fr")
 NL = spec.n_limbs
+
+
+def enc_s(x: int):
+    """Host int -> (NL, 1) device-ready Montgomery scalar."""
+    return jnp.asarray(spec.encode(x))[:, None]
 
 
 # --------------------------- upload / download ---------------------------
@@ -41,10 +47,10 @@ def _up_small_jit(n: int):
     r2 = spec.encode_plain(spec.R2)
 
     @jax.jit
-    def f(v):           # (n,) int32 values < 2^31 -> (n, NL) mont
+    def f(v):           # (n,) int32 values < 2^31 -> (NL, n) mont
         limbs = [(v >> (11 * i)) & 2047 for i in range(3)]
-        plain = jnp.stack(limbs + [jnp.zeros_like(v)] * (NL - 3), axis=-1)
-        return ops.mont_mul(plain, jnp.asarray(r2))
+        plain = jnp.stack(limbs + [jnp.zeros_like(v)] * (NL - 3), axis=0)
+        return ops.mont_mul(plain, jnp.asarray(r2)[:, None])
 
     return f
 
@@ -54,7 +60,7 @@ def _up_bytes_jit(n: int):
     r2 = spec.encode_plain(spec.R2)
 
     @jax.jit
-    def f(b):           # (..., 34) uint8 LE bytes -> (..., NL) mont
+    def f(b):           # (..., n, 34) uint8 LE bytes -> (..., NL, n) mont
         b = b.astype(jnp.int32)
         limbs = []
         for i in range(NL):
@@ -62,14 +68,14 @@ def _up_bytes_jit(n: int):
             j, r = off // 8, off % 8
             w = b[..., j] | (b[..., j + 1] << 8) | (b[..., j + 2] << 16)
             limbs.append((w >> r) & 2047)
-        plain = jnp.stack(limbs, axis=-1)
-        return ops.mont_mul(plain, jnp.asarray(r2))
+        plain = jnp.stack(limbs, axis=-2)
+        return ops.mont_mul(plain, jnp.asarray(r2)[:, None])
 
     return f
 
 
 def upload_ints(values: List[int], n: int | None = None):
-    """Canonical ints -> device (n, NL) Montgomery limbs (zero padded)."""
+    """Canonical ints -> device (NL, n) Montgomery limbs (zero padded)."""
     m = len(values)
     n = n if n is not None else m
     assert m <= n
@@ -87,7 +93,7 @@ def upload_ints(values: List[int], n: int | None = None):
 
 
 def upload_ints_many(columns, n: int):
-    """List of C int-lists -> (C, n, NL) device Montgomery limbs in ONE
+    """List of C int-lists -> (C, NL, n) device Montgomery limbs in ONE
     transfer + ONE program (C padded to a power of two)."""
     C = len(columns)
     width = 1 << max(0, (C - 1).bit_length())
@@ -102,87 +108,89 @@ def upload_ints_many(columns, n: int):
 
 
 def download_ints(a) -> List[int]:
-    """Device Montgomery limbs -> canonical python ints."""
+    """Device (…, NL, n) Montgomery limbs -> canonical python ints."""
     plain = np.asarray(ops.from_mont(a))
-    return spec.decode_plain_batch(plain)
+    rows = np.swapaxes(plain, -1, -2)
+    return spec.decode_plain_batch(rows)
 
 
 def download_int(a) -> int:
-    return download_ints(a.reshape(1, NL))[0]
+    return download_ints(a.reshape(NL, 1))[0]
 
 
 # ----------------------------- graph pieces -----------------------------
 
-def _ones_rows(sh: int):
-    one = jnp.asarray(spec.one_mont, jnp.int32)
-    return jnp.broadcast_to(one, (sh, NL))
+def _ones_cols(sh: int):
+    one = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
+    return jnp.broadcast_to(one, (NL, sh))
 
 
 def _powers_graph(x_mont, n: int):
-    """p_i = x^i, i < n (Montgomery), via log-doubling prefix products."""
-    one = jnp.asarray(spec.one_mont, jnp.int32)
-    v = jnp.broadcast_to(x_mont, (n, NL))
-    idx = jnp.arange(n)[:, None]
+    """p_i = x^i, i < n (Montgomery), via log-doubling prefix products.
+    x_mont: (NL, 1)."""
+    one = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
+    v = jnp.broadcast_to(x_mont, (NL, n))
+    idx = jnp.arange(n)[None, :]
     p = jnp.where(idx == 0, one, v)
     s = 1
     while s < n:
-        shifted = jnp.concatenate([_ones_rows(s), p[:-s]], axis=0)
+        shifted = jnp.concatenate([_ones_cols(s), p[:, :-s]], axis=-1)
         p = ops.mont_mul(p, shifted)
         s <<= 1
     return p
 
 
 def _prefix_graph(v):
-    """Inclusive prefix product along axis 0."""
-    n = v.shape[0]
+    """Inclusive prefix product along the lane axis of (NL, n)."""
+    n = v.shape[-1]
     p = v
     s = 1
     while s < n:
-        shifted = jnp.concatenate([_ones_rows(s), p[:-s]], axis=0)
+        shifted = jnp.concatenate([_ones_cols(s), p[:, :-s]], axis=-1)
         p = ops.mont_mul(p, shifted)
         s <<= 1
     return p
 
 
 def _suffix_graph(v):
-    """Inclusive suffix product along axis 0."""
-    n = v.shape[0]
+    """Inclusive suffix product along the lane axis of (NL, n)."""
+    n = v.shape[-1]
     p = v
     s = 1
     while s < n:
-        shifted = jnp.concatenate([p[s:], _ones_rows(s)], axis=0)
+        shifted = jnp.concatenate([p[:, s:], _ones_cols(s)], axis=-1)
         p = ops.mont_mul(p, shifted)
         s <<= 1
     return p
 
 
 def _sum_graph(a):
-    """Exact sum of (m, NL) Montgomery rows -> (NL,), amplitude < 2."""
-    while a.shape[0] > 1:
-        m = a.shape[0]
+    """Exact sum of (NL, m) Montgomery columns -> (NL, 1), amplitude < 2."""
+    while a.shape[-1] > 1:
+        m = a.shape[-1]
         c = min(256, m)
         if m % c:
             pad = c - m % c
             a = jnp.concatenate(
-                [a, jnp.zeros((pad, NL), jnp.int32)], axis=0)
+                [a, jnp.zeros((NL, pad), jnp.int32)], axis=-1)
             m += pad
-        a = a.reshape(m // c, c, NL).sum(axis=1, dtype=jnp.int32)
-        a = L._carry_relax(spec, a, passes=2)
+        a = a.reshape(NL, m // c, c).sum(axis=-1, dtype=jnp.int32)
+        a = carry_relax_t(spec, a, passes=2)
         a = ops.fold(a)
-    return a[0]
+    return a
 
 
 @functools.lru_cache(maxsize=None)
 def _wsum_jit(P: int):
     @jax.jit
     def f(stacked, w):
-        """stacked (P, n, NL) mont, w (P, NL) mont -> (n, NL) amplitude<2.
+        """stacked (P, NL, n) mont, w (P, NL, 1) mont -> (NL, n) amp<2.
 
         Per-limb bound: mont_mul output amplitude < 2 so the int32 sum over
         P<=64 rows stays < 128*B << 2^31; one relax pass then REDC-fold."""
-        prod = ops.mont_mul(stacked, w[:, None, :])
+        prod = ops.mont_mul(stacked, w)
         s = prod.sum(axis=0, dtype=jnp.int32)
-        s = L._carry_relax(spec, s, passes=2)
+        s = carry_relax_t(spec, s, passes=2)
         return ops.fold(s)
     return f
 
@@ -191,20 +199,19 @@ _WSUM_CHUNK = 64
 
 
 def weighted_sum_cols(cols, weights):
-    """sum_i weights[i] * cols[i] for device (n, NL) Montgomery columns and
-    python-int weights, chunked (row-aware: the padded limb axis costs
-    ~512 B/row, so long columns use narrower stacks). Returns (n, NL)
-    Montgomery, amplitude < 2."""
+    """sum_i weights[i] * cols[i] for device (NL, n) Montgomery columns and
+    python-int weights, chunked (row-aware: ~96 B/row in this layout).
+    Returns (NL, n) Montgomery, amplitude < 2."""
     P = len(cols)
     assert P == len(weights) and P > 0
-    rows = int(cols[0].shape[0])
-    chunk = max(4, min(_WSUM_CHUNK, (1 << 28) // max(rows * 512, 1)))
+    rows = int(cols[0].shape[-1])
+    chunk = max(4, min(_WSUM_CHUNK, (1 << 28) // max(rows * 96, 1)))
     chunk = 1 << max(0, (chunk - 1).bit_length() - 1) \
         if chunk & (chunk - 1) else chunk
     acc = None
     for off in range(0, P, chunk):
         blk = list(cols[off:off + chunk])
-        w = [spec.encode(x) for x in weights[off:off + len(blk)]]
+        w = [spec.encode(x)[:, None] for x in weights[off:off + len(blk)]]
         # pad to a power of two with zero weights: few program shapes
         width = 1 << max(0, (len(blk) - 1).bit_length())
         zero = None
@@ -212,7 +219,7 @@ def weighted_sum_cols(cols, weights):
             if zero is None:
                 zero = jnp.zeros_like(blk[0])
             blk.append(zero)
-            w.append(spec.encode(0))
+            w.append(spec.encode(0)[:, None])
         part = _wsum_jit(width)(jnp.stack(blk), jnp.asarray(np.stack(w)))
         acc = part if acc is None else _add_fold_jit()(acc, part)
     return acc
@@ -236,7 +243,7 @@ def unstack(a):
 def _add_fold_jit():
     @jax.jit
     def f(a, b):
-        return ops.fold(L._carry_relax(spec, a + b, passes=1))
+        return ops.fold(carry_relax_t(spec, a + b, passes=1))
     return f
 
 
@@ -251,8 +258,8 @@ def _powers_jit(n: int):
 
 
 def powers(x: int, n: int):
-    """Device vector [1, x, x^2, ..., x^{n-1}] (Montgomery)."""
-    return _powers_jit(n)(jnp.asarray(spec.encode(x)))
+    """Device vector [1, x, x^2, ..., x^{n-1}] as (NL, n) Montgomery."""
+    return _powers_jit(n)(enc_s(x))
 
 
 @functools.lru_cache(maxsize=None)
@@ -276,33 +283,33 @@ def _scalar_mul_jit():
 
 
 def scalar_mul(a, s: int):
-    return _scalar_mul_jit()(a, jnp.asarray(spec.encode(s)))
+    return _scalar_mul_jit()(a, enc_s(s))
 
 
-def _sum_rows_graph(a):
-    """Exact sum over axis 1 of (m, n, NL) Montgomery rows -> (m, NL),
+def _sum_lanes_graph(a):
+    """Exact sum over the lane axis of (m, NL, n) Montgomery -> (m, NL, 1),
     amplitude < 2 (the batched _sum_graph)."""
-    while a.shape[1] > 1:
-        m, n = a.shape[0], a.shape[1]
+    while a.shape[-1] > 1:
+        m, n = a.shape[0], a.shape[-1]
         c = min(256, n)
         if n % c:
             pad = c - n % c
             a = jnp.concatenate(
-                [a, jnp.zeros((m, pad, NL), jnp.int32)], axis=1)
+                [a, jnp.zeros((m, NL, pad), jnp.int32)], axis=-1)
             n += pad
-        a = a.reshape(m, n // c, c, NL).sum(axis=2, dtype=jnp.int32)
-        flat = L._carry_relax(spec, a.reshape(-1, NL), passes=2)
-        a = ops.fold(flat).reshape(m, n // c, NL)
-    return a[:, 0]
+        a = a.reshape(m, NL, n // c, c).sum(axis=-1, dtype=jnp.int32)
+        a = carry_relax_t(spec, a, passes=2)
+        a = ops.fold(a)
+    return a
 
 
 @functools.lru_cache(maxsize=None)
 def _eval_many_jit(n: int, m: int):
     @jax.jit
-    def f(stacked, x_mont):  # stacked (m, n, NL)
+    def f(stacked, x_mont):  # stacked (m, NL, n)
         pw = _powers_graph(x_mont, n)
         t = ops.mont_mul(stacked, pw[None])
-        return ops.canon(_sum_rows_graph(t), 2)
+        return ops.canon(_sum_lanes_graph(t), 2)
     return f
 
 
@@ -314,17 +321,17 @@ def eval_polys_at(coeff_list, x: int) -> List[int]:
     """
     if not coeff_list:
         return []
-    n = coeff_list[0].shape[0]
+    n = coeff_list[0].shape[-1]
     m = len(coeff_list)
     width = 1 << max(0, (m - 1).bit_length())
     stacked = jnp.stack(coeff_list)
     if m < width:
         stacked = jnp.concatenate(
-            [stacked, jnp.zeros((width - m, n, NL), jnp.int32)])
-    out = _eval_many_jit(n, width)(
-        stacked, jnp.asarray(spec.encode(x)))
+            [stacked, jnp.zeros((width - m, NL, n), jnp.int32)])
+    out = _eval_many_jit(n, width)(stacked, enc_s(x))
+    rows = np.swapaxes(np.asarray(out), -1, -2)
     return [spec.from_mont_int(v) % FR
-            for v in spec.decode_plain_batch(np.asarray(out))][:m]
+            for v in spec.decode_plain_batch(rows)][:m]
 
 
 def eval_poly_at(coeffs, x: int) -> int:
@@ -340,8 +347,8 @@ def _binv_jit(n: int):
     @jax.jit
     def combine(v, pre_p, tinv_mont):
         suf = _suffix_graph(v)
-        p_ex = jnp.concatenate([_ones_rows(1), pre_p[:-1]], axis=0)
-        s_ex = jnp.concatenate([suf[1:], _ones_rows(1)], axis=0)
+        p_ex = jnp.concatenate([_ones_cols(1), pre_p[:, :-1]], axis=-1)
+        s_ex = jnp.concatenate([suf[:, 1:], _ones_cols(1)], axis=-1)
         r = ops.mont_mul(p_ex, s_ex)
         return ops.mont_mul(r, tinv_mont)
 
@@ -349,13 +356,13 @@ def _binv_jit(n: int):
 
 
 def batch_inv(v):
-    """Elementwise inverse of a nonzero device vector (one host inversion)."""
-    n = v.shape[0]
+    """Elementwise inverse of a nonzero (NL, n) vector (one host inversion)."""
+    n = v.shape[-1]
     pre, combine = _binv_jit(n)
     P = pre(v)
-    total = download_int(P[-1])
+    total = download_int(P[:, -1:])
     tinv = inv_mod(total, FR)
-    return combine(v, P, jnp.asarray(spec.encode(tinv)))
+    return combine(v, P, enc_s(tinv))
 
 
 @functools.lru_cache(maxsize=None)
@@ -363,14 +370,14 @@ def _grand_product_jit(n: int, usable: int):
     @jax.jit
     def f(ratio, start_mont, blind_tail):
         # rows >= usable contribute 1 to the prefix
-        idx = jnp.arange(n)[:, None]
-        one = jnp.asarray(spec.one_mont, jnp.int32)
+        idx = jnp.arange(n)[None, :]
+        one = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
         r = jnp.where(idx < usable, ratio, one)
         pp = _prefix_graph(r)
-        pp_ex = jnp.concatenate([_ones_rows(1), pp[:-1]], axis=0)
-        z = ops.mont_mul(pp_ex, jnp.broadcast_to(start_mont, (n, NL)))
+        pp_ex = jnp.concatenate([_ones_cols(1), pp[:, :-1]], axis=-1)
+        z = ops.mont_mul(pp_ex, jnp.broadcast_to(start_mont, (NL, n)))
         z = jnp.where(idx <= usable, z, blind_tail)
-        last = ops.mont_mul(pp[usable - 1], start_mont)
+        last = ops.mont_mul(pp[:, usable - 1:usable], start_mont)
         return z, ops.canon(last, 2)
     return f
 
@@ -378,10 +385,9 @@ def _grand_product_jit(n: int, usable: int):
 def grand_product(ratio, start: int, usable: int, blind: List[int]):
     """Z with Z_0 = start, Z_{r+1} = Z_r * ratio_r for r < usable; rows
     usable+1.. take the supplied blinding values. Returns (Z, Z_usable)."""
-    n = ratio.shape[0]
+    n = ratio.shape[-1]
     tail = upload_ints([0] * (usable + 1) + list(blind), n)
-    z, last = _grand_product_jit(n, usable)(
-        ratio, jnp.asarray(spec.encode(start)), tail)
+    z, last = _grand_product_jit(n, usable)(ratio, enc_s(start), tail)
     return z, download_int(last)
 
 
@@ -390,16 +396,16 @@ def _quotient_jit(n: int):
     k = max(1, (n - 1).bit_length())
 
     @jax.jit
-    def f(coeffs, zpows):  # zpows (k, NL): z^(2^s)
+    def f(coeffs, zpows):  # zpows (k, NL, 1): z^(2^s)
         q = jnp.concatenate(
-            [coeffs[1:], jnp.zeros((1, NL), jnp.int32)], axis=0)
+            [coeffs[:, 1:], jnp.zeros((NL, 1), jnp.int32)], axis=-1)
         for s in range(k):
             sh = 1 << s
             if sh >= n:
                 break
             shifted = jnp.concatenate(
-                [q[sh:], jnp.zeros((sh, NL), jnp.int32)], axis=0)
-            q = L._carry_relax(
+                [q[:, sh:], jnp.zeros((NL, sh), jnp.int32)], axis=-1)
+            q = carry_relax_t(
                 spec, q + ops.mont_mul(shifted, zpows[s]), passes=1)
             q = ops.fold(q)
         return q
@@ -408,14 +414,14 @@ def _quotient_jit(n: int):
 
 def kzg_quotient(coeffs, z: int):
     """(f(X) - f(z)) / (X - z) coefficient vector on device."""
-    n = coeffs.shape[0]
+    n = coeffs.shape[-1]
     k = max(1, (n - 1).bit_length())
     zp = []
     cur = z % FR
     for _ in range(k):
         zp.append(cur)
         cur = cur * cur % FR
-    zpows = jnp.asarray(np.stack([spec.encode(v) for v in zp]))
+    zpows = jnp.asarray(np.stack([spec.encode(v)[:, None] for v in zp]))
     return _quotient_jit(n)(coeffs, zpows)
 
 
@@ -426,18 +432,18 @@ def _use_pallas() -> bool:
 
 
 def ntt_dev(a, k: int):
-    """Forward NTT of (2^k, NL) Montgomery limbs (canonical output)."""
+    """Forward NTT of (NL, 2^k) Montgomery limbs (canonical output)."""
+    from . import ntt_fast
     if _use_pallas():
-        from . import ntt_fast
-        return ntt_fast.ntt_t(jnp.asarray(a).T, k).T
-    return _xla_ntt(a, k)
+        return ntt_fast.ntt_t(a, k)
+    return ntt_fast.ntt_t_xla(a, k)
 
 
 def intt_dev(a, k: int):
+    from . import ntt_fast
     if _use_pallas():
-        from . import ntt_fast
-        return ntt_fast.intt_t(jnp.asarray(a).T, k).T
-    return _xla_intt(a, k)
+        return ntt_fast.intt_t(a, k)
+    return ntt_fast.intt_t_xla(a, k)
 
 
 # batched transforms: chunk so one call touches <= 2^23 rows of limbs
@@ -445,7 +451,7 @@ _NTT_BATCH_ROWS = 1 << 23
 
 
 def _batched_transform(cols, k, fn_many, fn_one):
-    """Chunk a (C, n, NL) batch at ONE fixed width (zero-padding the tail)
+    """Chunk a (C, NL, n) batch at ONE fixed width (zero-padding the tail)
     so exactly one vmapped program per k exists — tunnel compiles are
     minutes each, so program-shape count beats padding waste."""
     n = 1 << k
@@ -469,40 +475,44 @@ def _batched_transform(cols, k, fn_many, fn_one):
 
 
 def intt_dev_many(cols, k: int):
-    """(C, 2^k, NL) -> batched coefficient forms, few device calls."""
-    from .ntt import intt_many
-    return _batched_transform(jnp.asarray(cols), k, lambda c: intt_many(c, k),
+    """(C, NL, 2^k) -> batched coefficient forms, few device calls."""
+    from .ntt_fast import intt_many_t
+    up = _use_pallas()
+    return _batched_transform(jnp.asarray(cols), k,
+                              lambda c: intt_many_t(c, k, up),
                               lambda c: intt_dev(c, k))
 
 
 def ntt_dev_many(cols, k: int):
-    from .ntt import ntt_many
-    return _batched_transform(jnp.asarray(cols), k, lambda c: ntt_many(c, k),
+    from .ntt_fast import ntt_many_t
+    up = _use_pallas()
+    return _batched_transform(jnp.asarray(cols), k,
+                              lambda c: ntt_many_t(c, k, up),
                               lambda c: ntt_dev(c, k))
 
 
 @functools.lru_cache(maxsize=None)
 def _pad_mul_many_jit(n: int, n_ext: int):
     @jax.jit
-    def f(coeffs, sp):  # (C, n, NL), (n, NL)
+    def f(coeffs, sp):  # (C, NL, n), (NL, n)
         c = ops.mont_mul(coeffs, sp[None])
         return jnp.concatenate(
-            [c, jnp.zeros((coeffs.shape[0], n_ext - n, NL), jnp.int32)],
-            axis=1)
+            [c, jnp.zeros((coeffs.shape[0], NL, n_ext - n), jnp.int32)],
+            axis=-1)
     return f
 
 
 def coset_ntt_many(coeffs_cols, ext_k: int, shift: int):
-    """(C, n, NL) coefficient columns -> (C, n_ext, NL) coset evals.
+    """(C, NL, n) coefficient columns -> (C, NL, n_ext) coset evals.
     C is padded to a power of two to bound distinct program shapes."""
     coeffs_cols = jnp.asarray(coeffs_cols)
-    C, n = coeffs_cols.shape[0], coeffs_cols.shape[1]
+    C, n = coeffs_cols.shape[0], coeffs_cols.shape[-1]
     n_ext = 1 << ext_k
     width = 1 << max(0, (C - 1).bit_length())
     if C < width:
         coeffs_cols = jnp.concatenate(
             [coeffs_cols,
-             jnp.zeros((width - C, n, NL), jnp.int32)])
+             jnp.zeros((width - C, NL, n), jnp.int32)])
     sp = _shift_pows(n, shift)
     padded = _pad_mul_many_jit(n, n_ext)(coeffs_cols, sp)
     out = ntt_dev_many(padded, ext_k)
@@ -521,13 +531,13 @@ def _pad_mul_jit(n: int, n_ext: int):
     def f(coeffs, sp):
         c = ops.mont_mul(coeffs, sp)
         return jnp.concatenate(
-            [c, jnp.zeros((n_ext - n, NL), jnp.int32)], axis=0)
+            [c, jnp.zeros((NL, n_ext - n), jnp.int32)], axis=-1)
     return f
 
 
 def coset_ntt(coeffs, ext_k: int, shift: int):
     """Evaluate a degree-<n polynomial on the coset shift * W_ext^i."""
-    n = coeffs.shape[0]
+    n = coeffs.shape[-1]
     n_ext = 1 << ext_k
     sp = _shift_pows(n, shift)
     padded = _pad_mul_jit(n, n_ext)(coeffs, sp)

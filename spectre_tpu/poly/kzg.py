@@ -309,66 +309,83 @@ def commit_coeff_auto(srs: SrsKZG, coeffs: list):
     return commit_dev(enc, scalars)
 
 
-def commit_lagrange_col(srs: SrsKZG, col_mont):
-    """Commit a device-resident Montgomery eval column (one device call +
-    host fallback below the device threshold)."""
+def _lag_enc_dev_t(srs: SrsKZG, n: int):
+    """Transposed (NL, n) device encodings of the Lagrange basis (zero lane
+    padding — 96 B/point/coord instead of the AoS layout's 512 B)."""
+    import jax.numpy as jnp
+    key = "_lag_enc_t_%d" % n
+    if not hasattr(srs, key):
+        X, Y, Z = srs.g1_lagrange_enc
+        setattr(srs, key, tuple(
+            jnp.asarray(np.ascontiguousarray(c[:n].T)) for c in (X, Y, Z)))
+    return getattr(srs, key)
+
+
+def _coeff_enc_dev_t(srs: SrsKZG, n: int):
+    import jax.numpy as jnp
+    key = "_coeff_enc_t_%d" % n
+    if not hasattr(srs, key):
+        X, Y, Z = srs.g1_coeff_enc
+        setattr(srs, key, tuple(
+            jnp.asarray(np.ascontiguousarray(c[:n].T)) for c in (X, Y, Z)))
+    return getattr(srs, key)
+
+
+def _download_cols_t(cols_mont_t):
+    """(…, NL, n) device Montgomery -> canonical int rows (host)."""
+    from ..fields.limb_t import make_ops_t
     from ..fields import limb as LL
-    n = col_mont.shape[0]
-    ops = LL.make_ops(LL.fr_spec)
+    plain = np.asarray(make_ops_t("bn254_fr").from_mont(cols_mont_t))
+    return LL.fr_spec.decode_plain_batch(np.swapaxes(plain, -1, -2))
+
+
+def commit_lagrange_col(srs: SrsKZG, col_mont_t):
+    """Commit a device-resident TRANSPOSED (NL, n) Montgomery eval column
+    (one device call + host fallback below the device threshold)."""
+    from ..fields.limb_t import make_ops_t
+    n = col_mont_t.shape[-1]
     if n < DEVICE_MSM_MIN:
-        import numpy as np
-        vals = LL.fr_spec.decode_plain_batch(np.asarray(ops.from_mont(col_mont)))
-        return commit_lagrange_host(srs, vals)
-    from .msm_pippenger import commit_dev
-    enc = tuple(c[:n] for c in _lag_enc_dev(srs))
-    return commit_dev(enc, ops.from_mont(col_mont))
+        return commit_lagrange_host(srs, _download_cols_t(col_mont_t))
+    from .msm_pippenger import commit_dev_t
+    enc = tuple(c[:, :n] for c in _lag_enc_dev_t(srs, n))
+    return commit_dev_t(enc, make_ops_t("bn254_fr").from_mont(col_mont_t))
 
 
-def commit_lagrange_cols(srs: SrsKZG, cols_mont):
-    """Batched commit of C device Montgomery eval columns (C, n, NL) ->
+def commit_lagrange_cols(srs: SrsKZG, cols_mont_t):
+    """Batched commit of C transposed Montgomery eval columns (C, NL, n) ->
     list of C points. At most a handful of device calls total."""
-    from ..fields import limb as LL
-    import numpy as np
-    C, n = cols_mont.shape[0], cols_mont.shape[1]
-    ops = LL.make_ops(LL.fr_spec)
+    from ..fields.limb_t import make_ops_t
+    C, n = cols_mont_t.shape[0], cols_mont_t.shape[-1]
     if n < DEVICE_MSM_MIN:
-        vals = LL.fr_spec.decode_plain_batch(
-            np.asarray(ops.from_mont(cols_mont)).reshape(C * n, -1))
+        vals = _download_cols_t(cols_mont_t)
         return [commit_lagrange_host(srs, vals[i * n:(i + 1) * n])
                 for i in range(C)]
-    from .msm_pippenger import commit_dev_many
-    enc = tuple(c[:n] for c in _lag_enc_dev(srs))
-    return commit_dev_many(enc, ops.from_mont(cols_mont))
+    from .msm_pippenger import commit_dev_many_t
+    enc = tuple(c[:, :n] for c in _lag_enc_dev_t(srs, n))
+    return commit_dev_many_t(enc, make_ops_t("bn254_fr").from_mont(cols_mont_t))
 
 
-def commit_coeff_cols(srs: SrsKZG, cols_mont):
-    """Batched commit of C device Montgomery coefficient columns."""
-    from ..fields import limb as LL
-    import numpy as np
-    C, n = cols_mont.shape[0], cols_mont.shape[1]
-    ops = LL.make_ops(LL.fr_spec)
+def commit_coeff_cols(srs: SrsKZG, cols_mont_t):
+    """Batched commit of C transposed Montgomery coefficient columns."""
+    from ..fields.limb_t import make_ops_t
+    C, n = cols_mont_t.shape[0], cols_mont_t.shape[-1]
     if n < DEVICE_MSM_MIN:
-        vals = LL.fr_spec.decode_plain_batch(
-            np.asarray(ops.from_mont(cols_mont)).reshape(C * n, -1))
+        vals = _download_cols_t(cols_mont_t)
         return [commit_coeff_host(srs, vals[i * n:(i + 1) * n])
                 for i in range(C)]
-    from .msm_pippenger import commit_dev_many
-    enc = tuple(c[:n] for c in _coeff_enc_dev(srs))
-    return commit_dev_many(enc, ops.from_mont(cols_mont))
+    from .msm_pippenger import commit_dev_many_t
+    enc = tuple(c[:, :n] for c in _coeff_enc_dev_t(srs, n))
+    return commit_dev_many_t(enc, make_ops_t("bn254_fr").from_mont(cols_mont_t))
 
 
-def commit_coeff_col(srs: SrsKZG, coeffs_mont):
-    from ..fields import limb as LL
-    n = coeffs_mont.shape[0]
-    ops = LL.make_ops(LL.fr_spec)
+def commit_coeff_col(srs: SrsKZG, coeffs_mont_t):
+    from ..fields.limb_t import make_ops_t
+    n = coeffs_mont_t.shape[-1]
     if n < DEVICE_MSM_MIN:
-        import numpy as np
-        vals = LL.fr_spec.decode_plain_batch(
-            np.asarray(ops.from_mont(coeffs_mont)))
-        return commit_coeff_host(srs, vals)
-    from .msm_pippenger import commit_dev
-    enc = tuple(c[:n] for c in _coeff_enc_dev(srs))
-    return commit_dev(enc, ops.from_mont(coeffs_mont))
+        return commit_coeff_host(srs, _download_cols_t(coeffs_mont_t))
+    from .msm_pippenger import commit_dev_t
+    enc = tuple(c[:, :n] for c in _coeff_enc_dev_t(srs, n))
+    return commit_dev_t(enc, make_ops_t("bn254_fr").from_mont(coeffs_mont_t))
 
 
 def commit_coeff_host(srs: SrsKZG, coeffs: list):

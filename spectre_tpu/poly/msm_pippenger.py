@@ -417,8 +417,9 @@ def _commit_core_t(curve_name: str):
         return (X, Y, Z)
 
     def f(Xt, Yt, Zt, S):
-        """Xt/Yt/Zt (NL, N) transposed Montgomery coords; S (N, 24) plain
-        digit limbs -> one point as (NL, 1) coords."""
+        """Xt/Yt/Zt (NL, N) transposed Montgomery coords; S (24, N) plain
+        digit limbs (transposed, one window per sublane row) -> one point
+        as (NL, 1) coords."""
         N = Xt.shape[1]
         one = jnp.asarray(np.asarray(cops.spec.one_mont))[:, None]
         ident = (jnp.zeros((nlq, 1), jnp.int32), one,
@@ -428,7 +429,7 @@ def _commit_core_t(curve_name: str):
 
         def body(i, tot):
             w = n_windows - 1 - i
-            keys = jax.lax.dynamic_index_in_dim(S, w, axis=1,
+            keys = jax.lax.dynamic_index_in_dim(S, w, axis=0,
                                                 keepdims=False)
             order = jnp.argsort(keys)
             sk = keys[order]
@@ -469,13 +470,13 @@ def _commit_t_jit(curve_name: str):
     return jax.jit(_commit_core_t(curve_name))
 
 
-def commit_dev_t(points_enc_t, scalars_plain, curve: str = "bn254_g1"):
-    """Transposed-layout device MSM: (NL, N) coords + (N, 24) digits ->
+def commit_dev_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
+    """Transposed-layout device MSM: (NL, N) coords + (24, N) digits ->
     affine host point | None."""
     cops = CURVES[curve][0]
     Xt, Yt, Zt = points_enc_t
     with L.compact_redc():
-        out = _commit_t_jit(curve)(Xt, Yt, Zt, jnp.asarray(scalars_plain))
+        out = _commit_t_jit(curve)(Xt, Yt, Zt, jnp.asarray(scalars_plain_t))
     coords = tuple(np.asarray(c).T for c in out)       # (1, NL)
     return cops.decode_points(coords)[0]
 
@@ -486,13 +487,13 @@ def _commit_t_many_jit(curve_name: str):
                             in_axes=(None, None, None, 0)))
 
 
-def commit_dev_many_t(points_enc_t, scalars_plain, curve: str = "bn254_g1"):
-    """Batched transposed commits: (NL, N) bases + (C, N, 24) digits ->
+def commit_dev_many_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
+    """Batched transposed commits: (NL, N) bases + (C, 24, N) digits ->
     list of C affine points. Chunk width scales with the (unpadded!)
     96 B/row footprint — ~5x wider batches than the AoS kernel."""
     cops = CURVES[curve][0]
     Xt, Yt, Zt = points_enc_t
-    S = jnp.asarray(scalars_plain)
+    S = jnp.asarray(scalars_plain_t)
     C = S.shape[0]
     N = Xt.shape[1]
     width = max(1, min(_CHUNK, (1 << 28) // max(N * 320, 1)))

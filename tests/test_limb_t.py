@@ -110,7 +110,7 @@ def test_transposed_commit_vs_host(rng):
     X, Y, Z = bn254_g1_ops.encode_points(pts)
     enc_t = tuple(jnp.asarray(c).T for c in (X, Y, Z))
     scalars = [rng.randrange(0, FR) for _ in range(N)]
-    got = commit_dev_t(enc_t, spec.encode_plain_batch(scalars))
+    got = commit_dev_t(enc_t, spec.encode_plain_batch(scalars).T)
     assert got == H.bn254_g1.msm(pts, scalars)
 
 
@@ -126,5 +126,5 @@ def test_transposed_commit_many_vs_host(rng):
     enc_t = tuple(jnp.asarray(c).T for c in (X, Y, Z))
     cols = [[rng.randrange(0, FR) for _ in range(N)] for _ in range(3)]
     got = commit_dev_many_t(
-        enc_t, np.stack([spec.encode_plain_batch(c) for c in cols]))
+        enc_t, np.stack([spec.encode_plain_batch(c).T for c in cols]))
     assert got == [H.bn254_g1.msm(pts, c) for c in cols]
