@@ -223,11 +223,24 @@ def _commit_many_jit(curve_name: str):
 
 def commit_dev(points_enc, scalars_plain, curve: str = "bn254_g1"):
     """Device MSM: (X, Y, Z) device base arrays + (N, 24) plain-limb device
-    scalars -> affine host point | None. One device call."""
+    scalars -> affine host point | None. One device call per 2^16 slice
+    (larger scans OOM the remote compile helper; see _T_SLICE_N)."""
     cops = CURVES[curve][0]
+    hcurve = CURVES[curve][1]
     X, Y, Z = points_enc
+    S = jnp.asarray(scalars_plain)
+    N = X.shape[0]
+    if N > _T_SLICE_N:
+        total = None
+        for i in range(0, N, _T_SLICE_N):
+            sl = slice(i, i + _T_SLICE_N)
+            part = commit_dev(
+                tuple(c[sl] for c in (X, Y, Z)), S[sl], curve)
+            if part is not None:
+                total = hcurve.add(total, part)
+        return total
     with L.compact_redc():
-        out = _commit_jit(curve)(X, Y, Z, jnp.asarray(scalars_plain))
+        out = _commit_jit(curve)(X, Y, Z, S)
     return cops.decode_points(
         tuple(np.asarray(c)[None] for c in out))[0]
 
@@ -470,13 +483,32 @@ def _commit_t_jit(curve_name: str):
     return jax.jit(_commit_core_t(curve_name))
 
 
+# Largest N one transposed commit program scans. The remote compile
+# helper is SIGKILLed (host OOM) optimizing the unrolled segmented scan
+# past ~2^17, so bigger MSMs run as independent slice-MSMs over the same
+# compiled 2^16 program, host-added at the end (<= N/2^16 extra EC adds).
+_T_SLICE_N = 1 << 16
+
+
 def commit_dev_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
     """Transposed-layout device MSM: (NL, N) coords + (24, N) digits ->
     affine host point | None."""
     cops = CURVES[curve][0]
+    hcurve = CURVES[curve][1]
     Xt, Yt, Zt = points_enc_t
+    S = jnp.asarray(scalars_plain_t)
+    N = Xt.shape[1]
+    if N > _T_SLICE_N:
+        total = None
+        for i in range(0, N, _T_SLICE_N):
+            sl = slice(i, i + _T_SLICE_N)
+            part = commit_dev_t(
+                tuple(c[:, sl] for c in (Xt, Yt, Zt)), S[:, sl], curve)
+            if part is not None:
+                total = hcurve.add(total, part)
+        return total
     with L.compact_redc():
-        out = _commit_t_jit(curve)(Xt, Yt, Zt, jnp.asarray(scalars_plain_t))
+        out = _commit_t_jit(curve)(Xt, Yt, Zt, S)
     coords = tuple(np.asarray(c).T for c in out)       # (1, NL)
     return cops.decode_points(coords)[0]
 
@@ -492,10 +524,20 @@ def commit_dev_many_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
     list of C affine points. Chunk width scales with the (unpadded!)
     96 B/row footprint — ~5x wider batches than the AoS kernel."""
     cops = CURVES[curve][0]
+    hcurve = CURVES[curve][1]
     Xt, Yt, Zt = points_enc_t
     S = jnp.asarray(scalars_plain_t)
     C = S.shape[0]
     N = Xt.shape[1]
+    if N > _T_SLICE_N:
+        totals = [None] * C
+        for i in range(0, N, _T_SLICE_N):
+            sl = slice(i, i + _T_SLICE_N)
+            parts = commit_dev_many_t(
+                tuple(c[:, sl] for c in (Xt, Yt, Zt)), S[:, :, sl], curve)
+            totals = [t if p is None else hcurve.add(t, p)
+                      for t, p in zip(totals, parts)]
+        return totals
     width = max(1, min(_CHUNK, (1 << 28) // max(N * 320, 1)))
     width = 1 << (width.bit_length() - 1)
     fn = _commit_t_many_jit(curve)

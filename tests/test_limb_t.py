@@ -128,3 +128,26 @@ def test_transposed_commit_many_vs_host(rng):
     got = commit_dev_many_t(
         enc_t, np.stack([spec.encode_plain_batch(c).T for c in cols]))
     assert got == [H.bn254_g1.msm(pts, c) for c in cols]
+
+
+@pytest.mark.slow
+def test_transposed_commit_sliced_vs_host(rng, monkeypatch):
+    """N > _T_SLICE_N splits into independent slice-MSMs host-added at the
+    end (the path k>=18 commits take; the remote compile helper cannot
+    optimize a 2^18-wide scan — msm_pippenger._T_SLICE_N)."""
+    from spectre_tpu.curves import host as H
+    from spectre_tpu.curves.limbjax import bn254_g1_ops
+    from spectre_tpu.poly import msm_pippenger as MP
+    monkeypatch.setattr(MP, "_T_SLICE_N", 32)
+    N = 64
+    pts = [H.bn254_g1.mul(H.bn254_g1.gen, rng.randrange(1, FR))
+           for _ in range(N)]
+    X, Y, Z = bn254_g1_ops.encode_points(pts)
+    enc_t = tuple(jnp.asarray(c).T for c in (X, Y, Z))
+    scalars = [rng.randrange(0, FR) for _ in range(N)]
+    got = MP.commit_dev_t(enc_t, spec.encode_plain_batch(scalars).T)
+    assert got == H.bn254_g1.msm(pts, scalars)
+    cols = [scalars, [rng.randrange(0, FR) for _ in range(N)]]
+    got_many = MP.commit_dev_many_t(
+        enc_t, np.stack([spec.encode_plain_batch(c).T for c in cols]))
+    assert got_many == [H.bn254_g1.msm(pts, c) for c in cols]
