@@ -63,7 +63,7 @@ def bench_ntt():
     import numpy as np
     import jax
     from spectre_tpu.fields import limb as L
-    from spectre_tpu.poly.ntt_fast import ntt_t
+    from spectre_tpu.poly.fr_vec import ntt_dev   # ntt4 on TPU (k >= 8)
 
     k = 23
     n = 1 << k
@@ -71,11 +71,11 @@ def bench_ntt():
     rng = np.random.RandomState(0)
     a = jax.device_put(
         rng.randint(0, spec.B, size=(spec.n_limbs, n)).astype(np.int32))
-    np.asarray(ntt_t(a, k)[:, :2])     # fetch forces completion (tunnel)
+    np.asarray(ntt_dev(a, k)[:, :2])   # fetch forces completion (tunnel)
     iters = 3
     t0 = time.time()
     for _ in range(iters):
-        np.asarray(ntt_t(a, k)[:, :2])
+        np.asarray(ntt_dev(a, k)[:, :2])
     dt = (time.time() - t0) / iters
     value = n / dt
     return {

@@ -4,28 +4,22 @@
 set -u
 cd /root/repo
 
-echo "[queue] $(date -u +%H:%M:%S) warm nano k=13 rerun"
-SPECTRE_TRACE=1 timeout 5400 python -u scripts/prove_committee.py \
-  --spec nano --k 13 > /tmp/q_nano_warm.log 2>&1
-echo "[queue] nano warm exit=$?"
+echo "[queue] $(date -u +%H:%M:%S) ntt4 batched (vmap) check"
+timeout 7200 python -u scripts/ntt4_many_check.py > /tmp/q_ntt4_many.log 2>&1
+echo "[queue] ntt4_many exit=$?"
 
-echo "[queue] $(date -u +%H:%M:%S) minimal k=14 committee prove"
-SPECTRE_TRACE=1 timeout 14400 python -u scripts/prove_committee.py \
-  --spec minimal --k 14 > /tmp/q_minimal14.log 2>&1
-echo "[queue] minimal exit=$?"
-
-echo "[queue] $(date -u +%H:%M:%S) bench msm"
-SPECTRE_BENCH_METRIC=msm timeout 3600 python -u bench.py \
-  > /tmp/q_bench_msm.log 2>&1
-echo "[queue] bench msm exit=$?"
+echo "[queue] $(date -u +%H:%M:%S) nano k=13 committee prove (ntt4 pipeline)"
+SPECTRE_TRACE=1 timeout 7200 python -u scripts/prove_committee.py \
+  --spec nano --k 13 > /tmp/q_nano_ntt4.log 2>&1
+echo "[queue] nano exit=$?"
 
 echo "[queue] $(date -u +%H:%M:%S) bench ntt"
 SPECTRE_BENCH_METRIC=ntt timeout 3600 python -u bench.py \
   > /tmp/q_bench_ntt.log 2>&1
 echo "[queue] bench ntt exit=$?"
 
-echo "[queue] $(date -u +%H:%M:%S) aggregation pipeline (toy inner)"
-timeout 14400 python -u scripts/prove_aggregation.py --k 14 --inner-k 5 \
-  > /tmp/q_agg.log 2>&1
-echo "[queue] aggregation exit=$?"
+echo "[queue] $(date -u +%H:%M:%S) bench msm (sliced commit)"
+SPECTRE_BENCH_METRIC=msm timeout 7200 python -u bench.py \
+  > /tmp/q_bench_msm.log 2>&1
+echo "[queue] bench msm exit=$?"
 echo "[queue] all done $(date -u +%H:%M:%S)"
