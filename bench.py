@@ -4,10 +4,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric selected by SPECTRE_BENCH_METRIC:
-  msm  (default) — BN254 G1 Pippenger MSM points/s/chip at 2^20 over the
-                   Lagrange SRS basis (the prover's commit hot path;
+  ntt  (default) — BN254 Fr NTT throughput at 2^23 (BASELINE.md metric;
+                   four-step VMEM-resident ntt4 kernel).
+  msm            — BN254 G1 Pippenger MSM points/s/chip over the Lagrange
+                   SRS basis (the prover's commit hot path;
                    BASELINE.md "MSM points/s/chip").
-  ntt            — BN254 Fr NTT throughput at 2^23 (BASELINE.md metric).
   prove          — committee-update NANO end-to-end prove seconds.
 
 Baselines (the reference publishes no numbers — BASELINE.md): estimated
@@ -28,27 +29,26 @@ def bench_msm():
     import jax
     from spectre_tpu.fields import limb as L
     from spectre_tpu.poly import kzg
-    from spectre_tpu.poly.msm_pippenger import commit_dev
+    from spectre_tpu.poly.msm_pippenger import commit_dev_t
 
     # 2^18 fixed base: big enough to saturate the chip, small enough that
     # the deterministic test SRS generates/loads in minutes not hours
     k = int(os.environ.get("SPECTRE_BENCH_MSM_K", "18"))
     n = 1 << k
     srs = kzg.cached_srs(k)
-    enc = kzg._lag_enc_dev(srs)
+    enc = kzg._lag_enc_dev_t(srs, n)
     rng = np.random.RandomState(0)
     # random canonical-limb scalars (11-bit plain limbs, top limbs clipped)
     s = rng.randint(0, 2048, size=(n, L.fr_spec.n_limbs)).astype(np.int32)
     s[:, -1] = 0
-    import jax.numpy as jnp
-    s = jax.device_put(s)
+    s = jax.device_put(s.T.copy())   # transposed (NL, n) layout
     t0 = time.time()
-    commit_dev(enc, s)          # includes decode → forces completion
+    commit_dev_t(enc, s)        # includes decode → forces completion
     warm = time.time() - t0
     iters = 2
     t0 = time.time()
     for _ in range(iters):
-        commit_dev(enc, s)
+        commit_dev_t(enc, s)
     dt = (time.time() - t0) / iters
     value = n / dt
     return {
@@ -106,7 +106,7 @@ def bench_prove():
 
 
 def main():
-    which = os.environ.get("SPECTRE_BENCH_METRIC", "msm")
+    which = os.environ.get("SPECTRE_BENCH_METRIC", "ntt")
     fn = {"msm": bench_msm, "ntt": bench_ntt, "prove": bench_prove}[which]
     print(json.dumps(fn()))
 
