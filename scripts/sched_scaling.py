@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Data-parallel proof-throughput scaling over the device pool
+(SURVEY §2c axis 3; BASELINE "scaling efficiency ... N>=2").
+
+Runs a fixed batch of independent toy proofs through ProofScheduler at
+worker counts 1/2/4/8 on the virtual CPU mesh (or real devices when
+present) and prints one JSON line with proofs/s and parallel efficiency.
+
+Usage: python scripts/sched_scaling.py [--jobs N] [--k K]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jobs", type=int, default=8)
+    ap.add_argument("--k", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    from spectre_tpu.poly import kzg
+    from spectre_tpu.service.scheduler import ProofScheduler
+    from tests.test_app_lifecycle import ToyCircuit
+
+    srs = kzg.test_srs(args.k)
+    pk = ToyCircuit.create_pk(None, args.k, srs)
+
+    def prove(x):
+        proof, inst = ToyCircuit.gen_proof(pk, None, srs, {"x": x, "w": 7})
+        assert ToyCircuit.verify(pk, srs, proof, inst)
+        return len(proof.data)
+
+    # warm every device's compile cache once so the sweep measures
+    # steady-state throughput, not first-touch compiles
+    devs = jax.devices()
+    for d in devs:
+        with jax.default_device(d):
+            prove(1)
+
+    results = []
+    base = None
+    for nw in (1, 2, 4, 8):
+        if nw > len(devs):
+            break
+        sched = ProofScheduler(devices=devs[:nw])
+        try:
+            t0 = time.time()
+            jids = [sched.submit("toy", lambda x=x: prove(x))
+                    for x in range(1, args.jobs + 1)]
+            for j in jids:
+                sched.wait(j, timeout=1200)
+            dt = time.time() - t0
+        finally:
+            sched.stop()
+        thr = args.jobs / dt
+        if base is None:
+            base = thr
+        results.append({
+            "workers": nw,
+            "proofs_per_s": round(thr, 3),
+            "speedup": round(thr / base, 3),
+            "efficiency": round(thr / base / nw, 3),
+        })
+    print(json.dumps({"k": args.k, "jobs": args.jobs, "scaling": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

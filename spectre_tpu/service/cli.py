@@ -211,11 +211,22 @@ def _cmd_circuit(args) -> int:
             args.build_dir, f"{args.proof}_{args.spec}_verifier.bin")
         code = cls_.gen_evm_verifier(pk, srs, inst_shape, path=out_path,
                                      accumulator_indices=acc)
-        print(json.dumps({
+        out = {
             "status": "ok", "verifier": out_path,
             "bytecode_bytes": len(code),
             "inst_shape": inst_shape,
-        }))
+        }
+        if args.estimate_gas:
+            # prove the dummy witness and run the verifier in the in-process
+            # EVM to report gas (cli.rs:259-268 --estimate-gas analog)
+            if compressed:
+                proof, instances = cls_.gen_evm_proof(pk, spec, srs, dummy)
+            else:
+                proof, instances = cls_.gen_evm_proof(
+                    pk, spec, srs, cls_.default_witness(spec))
+            ok, gas = cls_.evm_verify(code, instances, proof)
+            out.update(evm_ok=bool(ok), gas=gas)
+        print(json.dumps(out))
         return 0
 
     print(json.dumps({"status": "unknown-command"}))
@@ -246,6 +257,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--build-dir", default="./build")
     c.add_argument("--witness", help="witness JSON (default: dummy witness)")
     c.add_argument("--out", help="write raw proof bytes here")
+    c.add_argument("--estimate-gas", action="store_true",
+                   help="gen-verifier: prove the dummy witness and report "
+                        "in-process EVM verify gas (cli.rs:259-268)")
     c.set_defaults(fn=_cmd_circuit)
 
     u = sub.add_parser("utils", help="utility commands")

@@ -138,7 +138,13 @@ def test_cli_committee_poseidon(tmp_path, capsys):
     assert out["n_pubkeys"] == 512
     assert out["committee_poseidon"].startswith("0x")
 
-    # setup/prove are wired to the real lifecycle (exercised in the heavy
-    # prove scripts); gen-verifier still reports unimplemented explicitly
-    rc = main(["circuit", "committee-update", "gen-verifier"])
-    assert rc == 3
+    # setup/prove/gen-verifier are wired to the real lifecycle (exercised
+    # in the heavy prove scripts / test_evm_verifier); here just pin the
+    # argument surface (incl. --estimate-gas, cli.rs:259-268 analog)
+    from spectre_tpu.service.cli import build_parser
+    ns = build_parser().parse_args(
+        ["circuit", "committee-update", "gen-verifier", "-k", "13",
+         "--estimate-gas"])
+    assert ns.estimate_gas and ns.command == "gen-verifier"
+    with pytest.raises(SystemExit):   # argparse rejects unknown circuits
+        main(["circuit", "not-a-circuit", "gen-verifier"])
