@@ -12,7 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import _force_cpu  # noqa: F401 — must not touch the real chip
     t0 = time.time()
     from spectre_tpu.specs import MINIMAL
     from spectre_tpu.test_utils import (generate_spec_test_fixture,
