@@ -4,12 +4,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric selected by SPECTRE_BENCH_METRIC:
-  ntt  (default) — BN254 Fr NTT throughput at 2^23 (BASELINE.md metric;
-                   four-step VMEM-resident ntt4 kernel).
-  msm            — BN254 G1 Pippenger MSM points/s/chip over the Lagrange
-                   SRS basis (the prover's commit hot path;
-                   BASELINE.md "MSM points/s/chip").
-  prove          — committee-update NANO end-to-end prove seconds.
+  prove (default) — committee-update nano/k=13 WARM prove seconds (the
+                    metric the project is scored on; VERDICT r2 next #1).
+  ntt             — BN254 Fr NTT throughput at 2^23 (four-step VMEM ntt4).
+  msm             — BN254 G1 Pippenger MSM points/s/chip over the Lagrange
+                    SRS basis (BASELINE.md "MSM points/s/chip").
 
 Baselines (the reference publishes no numbers — BASELINE.md): estimated
 64-core rayon halo2 throughputs, recorded here so ratios are reproducible:
@@ -87,26 +86,30 @@ def bench_ntt():
 
 
 def bench_prove():
+    """Committee-update nano/k=13 WARM prove wall-clock (verified): the
+    second same-process prove, i.e. the RPC server's steady state after
+    ProverState preload. Baseline: halo2 create_proof for an equivalent
+    37k-cell k=13 circuit on the 64-core reference host, estimated ~10 s
+    (the reference publishes no numbers; BASELINE.md)."""
     import subprocess
-    t0 = time.time()
     r = subprocess.run(
         [sys.executable, "-u", "scripts/prove_committee.py",
-         "--spec", "nano", "--k", "18"],
+         "--spec", "nano", "--k", "13", "--repeat", "2"],
         capture_output=True, text=True, timeout=5200)
     line = [l for l in r.stdout.splitlines() if l.startswith("{")]
     d = json.loads(line[-1])
     assert d["verified"]
-    # baseline: reference committee-update k=18-equivalent prove est. 30 s
+    warm = d.get("prove_s_all", [d["prove_s"]])[-1]
     return {
-        "metric": "committee_update_nano_k18_prove",
-        "value": d["prove_s"],
+        "metric": "committee_update_nano_k13_prove_warm",
+        "value": warm,
         "unit": "s",
-        "vs_baseline": round(30.0 / max(d["prove_s"], 1e-9), 4),
+        "vs_baseline": round(10.0 / max(warm, 1e-9), 4),
     }
 
 
 def main():
-    which = os.environ.get("SPECTRE_BENCH_METRIC", "ntt")
+    which = os.environ.get("SPECTRE_BENCH_METRIC", "prove")
     fn = {"msm": bench_msm, "ntt": bench_ntt, "prove": bench_prove}[which]
     print(json.dumps(fn()))
 

@@ -39,12 +39,19 @@ def main():
         assert ToyCircuit.verify(pk, srs, proof, inst)
         return len(proof.data)
 
-    # warm every device's compile cache once so the sweep measures
-    # steady-state throughput, not first-touch compiles
+    # warm the devices that will actually run (largest worker count used),
+    # concurrently through a throwaway scheduler — serial first-touch proves
+    # cost minutes each on the CPU mesh
     devs = jax.devices()
-    for d in devs:
-        with jax.default_device(d):
-            prove(1)
+    n_warm = max(nw for nw in (1, 2, 4, 8) if nw <= len(devs))
+    warm_sched = ProofScheduler(devices=devs[:n_warm])
+    try:
+        jids = [warm_sched.submit("warm", lambda: prove(1))
+                for _ in range(n_warm)]
+        for j in jids:
+            warm_sched.wait(j, timeout=1200)
+    finally:
+        warm_sched.stop()
 
     results = []
     base = None

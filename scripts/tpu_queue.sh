@@ -2,7 +2,7 @@
 # Sequential TPU job queue (single chip — jobs must not overlap).
 # Logs to /tmp/q_*.log; each step tolerates failure and continues.
 set -u
-cd /root/repo
+cd /root/repo || exit 1
 
 echo "[queue] $(date -u +%H:%M:%S) ntt4 batched (vmap) check"
 timeout 7200 python -u scripts/ntt4_many_check.py > /tmp/q_ntt4_many.log 2>&1

@@ -2,7 +2,7 @@
 # Session queue: warm the fresh machine's compile cache in bench-priority
 # order (driver runs bench.py at round end), then push the prover milestones.
 set -u
-cd /root/repo
+cd /root/repo || exit 1
 
 echo "[queue] $(date -u +%H:%M:%S) bench ntt (cache warm, driver metric)"
 SPECTRE_BENCH_METRIC=ntt timeout 3000 python -u bench.py \

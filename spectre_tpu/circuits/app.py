@@ -22,17 +22,29 @@ from .builder import CircuitBuilder
 
 @dataclass
 class Pinning:
-    """Circuit-shape pinning (Eth2ConfigPinning analog)."""
+    """Circuit-shape pinning (Eth2ConfigPinning / Halo2ConfigPinning
+    analog, util/circuit.rs:26-78): keygen writes the FULL layout —
+    column counts, per-column break points, lookup config and a structural
+    hash — and prover-mode compile verifies against it, erroring loudly on
+    drift (the file-driven reproducibility contract)."""
     k: int
     lookup_bits: Optional[int] = None
-    n_advice: Optional[int] = None     # recorded break-point shape
+    n_advice: Optional[int] = None
+    n_fixed: Optional[int] = None
+    n_lookups: Optional[int] = None
+    break_points: Optional[list] = None    # vertical-gate column heights
+    layout_hash: Optional[str] = None
     meta: dict = None
 
     def write(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump({"k": self.k, "lookup_bits": self.lookup_bits,
-                       "n_advice": self.n_advice, "meta": self.meta or {}},
+                       "n_advice": self.n_advice, "n_fixed": self.n_fixed,
+                       "n_lookups": self.n_lookups,
+                       "break_points": self.break_points,
+                       "layout_hash": self.layout_hash,
+                       "meta": self.meta or {}},
                       f, indent=2)
 
     @classmethod
@@ -40,7 +52,19 @@ class Pinning:
         with open(path) as f:
             d = json.load(f)
         return cls(k=d["k"], lookup_bits=d.get("lookup_bits"),
-                   n_advice=d.get("n_advice"), meta=d.get("meta") or {})
+                   n_advice=d.get("n_advice"), n_fixed=d.get("n_fixed"),
+                   n_lookups=d.get("n_lookups"),
+                   break_points=d.get("break_points"),
+                   layout_hash=d.get("layout_hash"),
+                   meta=d.get("meta") or {})
+
+    @classmethod
+    def from_layout(cls, layout: dict, meta: dict = None) -> "Pinning":
+        return cls(k=layout["k"], lookup_bits=layout["lookup_bits"],
+                   n_advice=layout["n_advice"], n_fixed=layout["n_fixed"],
+                   n_lookups=layout["n_lookups"],
+                   break_points=layout["break_points"],
+                   layout_hash=layout["layout_hash"], meta=meta or {})
 
 
 class AppCircuit:
@@ -74,19 +98,20 @@ class AppCircuit:
             with open(pk_path, "wb") as f:
                 pickle.dump(pk, f)
         if pinning_path:
-            Pinning(k=k, lookup_bits=builder.lookup_bits,
-                    n_advice=len([c for c in cs.advice]),
-                    meta={"circuit": cls.__name__,
-                          "spec": getattr(spec, "name", "")},
-                    ).write(pinning_path)
+            Pinning.from_layout(
+                builder.last_layout,
+                meta={"circuit": cls.__name__,
+                      "spec": getattr(spec, "name", "")}).write(pinning_path)
         return pk
 
     @classmethod
     def gen_proof(cls, pk: ProvingKey, spec, srs: kzg.SrsKZG,
-                  witness) -> tuple:
-        """Returns (proof, instances)."""
+                  witness, pinning: Optional[Pinning] = None) -> tuple:
+        """Returns (proof, instances). pinning: verify the prover-mode
+        layout against the keygen-time record (fails loudly on drift)."""
         builder = cls.build(witness, spec)
-        cs, fixed, advice, instances = builder.compile(pk.vk.k)
+        cs, fixed, advice, instances = builder.compile(pk.vk.k,
+                                                       pinning=pinning)
         proof = create_proof(pk, srs, advice, instances)
         return proof, instances
 
@@ -98,21 +123,23 @@ class AppCircuit:
     # ---- snark / EVM output stages (util/circuit.rs:163-271 analogs) ----
     @classmethod
     def gen_snark(cls, pk: ProvingKey, spec, srs: kzg.SrsKZG,
-                  witness) -> tuple:
+                  witness, pinning: Optional[Pinning] = None) -> tuple:
         """Inner snark for aggregation: Poseidon-transcript proof
         (gen_snark_shplonk analog). Returns (proof, instances)."""
         builder = cls.build(witness, spec)
-        cs, fixed, advice, instances = builder.compile(pk.vk.k)
+        cs, fixed, advice, instances = builder.compile(pk.vk.k,
+                                                       pinning=pinning)
         proof = create_proof(pk, srs, advice, instances,
                              transcript="poseidon")
         return proof, instances
 
     @classmethod
     def gen_evm_proof(cls, pk: ProvingKey, spec, srs: kzg.SrsKZG,
-                      witness) -> tuple:
+                      witness, pinning: Optional[Pinning] = None) -> tuple:
         """Keccak(EVM)-transcript proof (gen_evm_proof_shplonk analog)."""
         builder = cls.build(witness, spec)
-        cs, fixed, advice, instances = builder.compile(pk.vk.k)
+        cs, fixed, advice, instances = builder.compile(pk.vk.k,
+                                                       pinning=pinning)
         proof = create_proof(pk, srs, advice, instances,
                              transcript="keccak")
         return proof, instances

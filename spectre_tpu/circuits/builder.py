@@ -337,11 +337,17 @@ class CircuitBuilder:
             v += 1
         return col_vals, q_rows, placements, dup_links
 
-    def compile(self, k: int):
+    def compile(self, k: int, pinning=None):
         """Lay out into plonk columns. Returns (cs, fixed_evals,
         advice_evals, instances). External regions (builder.regions, e.g.
         the wide SHA-256 engine) contribute their own columns, gates,
-        witness and copy links."""
+        witness and copy links.
+
+        pinning: optional Pinning recorded at keygen; the derived layout is
+        checked against it and PinningMismatch raised on drift (the
+        reference reads break points from committed JSON in prover mode,
+        util/circuit.rs:26-52 / sync_step_circuit.rs:413-419 — layout here
+        is deterministic, so the contract is verify-and-fail-loudly)."""
         n = 1 << k
         cs = ConstraintSystem()
         ctx = self.ctx
@@ -498,4 +504,64 @@ class CircuitBuilder:
 
         fixed_evals = [fixed_by_idx[col.index] for col in cs.fixed]
         advice_evals = [advice_by_idx[col.index] for col in cs.advice]
+
+        # ---- layout fingerprint (Halo2ConfigPinning round-trip contract,
+        # util/circuit.rs:26-52): keygen freezes this in the pinning JSON;
+        # prover-mode compile verifies it and fails loudly on drift.
+        self.last_layout = {
+            "k": k,
+            "lookup_bits": self.lookup_bits,
+            "n_advice": len(cs.advice),
+            "n_fixed": len(cs.fixed),
+            "n_lookups": len(cs.lookups),
+            "break_points": [len(c) for c in col_vals],
+            "layout_hash": _layout_hash(cs),
+        }
+        if pinning is not None:
+            want = {k_: getattr(pinning, k_) for k_ in (
+                "k", "lookup_bits", "n_advice", "n_fixed", "n_lookups",
+                "break_points", "layout_hash")}
+            got = self.last_layout
+            bad = {k_ for k_ in want
+                   if want[k_] is not None and want[k_] != got[k_]}
+            if bad:
+                raise PinningMismatch(
+                    "circuit layout does not match the pinning: " +
+                    ", ".join(f"{k_}: pinned {want[k_]!r} != built "
+                              f"{got[k_]!r}" for k_ in sorted(bad)))
         return cs, fixed_evals, advice_evals, self.instances()
+
+
+class PinningMismatch(AssertionError):
+    """Prover-mode layout drifted from the keygen-time pinning."""
+
+
+def _layout_hash(cs) -> str:
+    """Stable structural digest of a compiled constraint system: column
+    kinds/order, gate shapes (name, poly count, node count, degree),
+    lookup shapes, copy count. Catches layout drift without serializing
+    whole expression trees."""
+    import hashlib as _hl
+    h = _hl.sha256()
+    for col in cs.columns:
+        h.update(f"{col.kind}:{col.index};".encode())
+    for g in cs.gates:
+        h.update(f"g:{g.name}:{len(g.polys)}".encode())
+        for p in g.polys:
+            h.update(f":{_nodes(p)}:{p.degree()}".encode())
+        h.update(b";")
+    for lk in cs.lookups:
+        h.update(f"l:{lk.name}:{len(lk.inputs)}:{len(lk.tables)};".encode())
+    h.update(f"c:{len(cs.copies)}".encode())
+    return h.hexdigest()[:32]
+
+
+def _nodes(e) -> int:
+    from ..plonk.expression import Sum, Prod, Scaled
+    if isinstance(e, Sum):
+        return 1 + sum(_nodes(t) for t in e.terms)
+    if isinstance(e, Prod):
+        return 1 + sum(_nodes(f) for f in e.factors)
+    if isinstance(e, Scaled):
+        return 1 + _nodes(e.inner)
+    return 1

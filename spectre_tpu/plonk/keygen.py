@@ -94,6 +94,12 @@ class ProvingKey:
                     if k[0] in ("fixed", "sigma")]:
             del self._dev[key]
 
+    def drop_sigma_coeffs(self):
+        """Free per-gi sigma coefficient caches (the prover folds them into
+        its own stacked coefficient tensor)."""
+        for key in [k for k in self._dev if k[0] == "sigma_c"]:
+            del self._dev[key]
+
     def prefill_fixed(self):
         """Batch-upload all fixed columns in one transfer."""
         from ..poly import fr_vec as V

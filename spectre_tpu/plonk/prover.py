@@ -34,7 +34,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..fields.params import BN254_FR as FR
-from ..fields.host import inv_mod, batch_inv_mod
+from ..fields.host import inv_mod
 from ..fields import limb as L
 from ..fields.limb_t import carry_relax_t
 from ..poly.domain import Domain
@@ -51,8 +51,6 @@ ops = V.ops          # transposed (NL, n) op namespace
 spec = V.spec
 NL = V.NL
 enc_s = V.enc_s      # host int -> (NL, 1) Montgomery scalar
-
-COSET_CACHE_CAP = int(os.environ.get("SPECTRE_COSET_CACHE", "12"))
 
 _TRACE = os.environ.get("SPECTRE_TRACE", "") not in ("", "0")
 
@@ -235,11 +233,18 @@ def _eval_expr_interp(expr: Expr, get_col, rot_unit: int):
     return rec(expr)
 
 
+_TAPE_CACHE: Dict = {}
+
+
 def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
     """Fold all gate polys into acc in ONE linear combination:
-    result = acc*y^P + sum_i y^(P-1-i) * eval(poly_i), evaluated as
-    vmapped groups of structurally identical exprs (10ish programs and a
-    few dozen dispatches instead of one per poly)."""
+    result = acc*y^P + sum_i y^(P-1-i) * eval(poly_i). Structurally
+    identical exprs evaluate as vmapped groups (10ish programs, a few dozen
+    dispatches); oversized one-off exprs (the 101-ref zkEVM-SHA gates,
+    which OOM the tunnel XLA compiler as single graphs) run on the tape VM
+    (plonk/tapevm.py) — ONE dispatch for all of them instead of one per
+    expression node (round-2's interpreter cost ~6,700 dispatches ≈ the
+    entire 686 s quotient phase at nano/k=13)."""
     P = len(polys)
     if P == 0:
         return acc
@@ -250,19 +255,13 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
         canon = _remap_expr(p, mapping)
         groups.setdefault(canon, []).append((pos, refs, p))
     total = None
+    vm_members: List = []
     for canon, members in groups.items():
         R = max(1, len(members[0][1]))
         rows = int(get_col(members[0][1][0]).shape[-1]) if members[0][1] \
             else 0
         if R > _COMPILE_MAX_REFS or _expr_nodes(canon) > 1500:
-            # oversized expr: interpret (compiling it OOMs the tunnel XLA)
-            vals = [_eval_expr_interp(p, get_col, rot_unit)
-                    for (_pos, _refs, p) in members]
-            part = V.weighted_sum_cols(
-                vals, [pow(y, P - 1 - pos, FR)
-                       for (pos, _r, _p) in members])
-            total = part if total is None else V._add_fold_jit()(
-                total, part)
+            vm_members.extend(members)
             continue
         # member chunk scales down with ref count AND row count: the
         # stacked input is (G, R, NL, n_ext) at ~96 B/row (transposed)
@@ -284,6 +283,22 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
                 jnp.stack(cols), jnp.asarray(np.stack(ws)))
             total = part if total is None else V._add_fold_jit()(
                 total, part)
+    if vm_members:
+        from .tapevm import GateTape
+        n_rows = int(get_col(vm_members[0][1][0]).shape[-1])
+        all_refs = sorted({g for (_pos, refs, _p) in vm_members
+                           for g in refs})
+        col_index = {g: i for i, g in enumerate(all_refs)}
+        key = (tuple((p, pos) for (pos, _r, p) in vm_members),
+               rot_unit, n_rows)
+        tape = _TAPE_CACHE.get(key)
+        if tape is None:
+            tape = GateTape([(p, pos) for (pos, _r, p) in vm_members],
+                            col_index, rot_unit, n_rows)
+            _TAPE_CACHE[key] = tape
+        stacked = jnp.stack([get_col(g) for g in all_refs])
+        part = tape.run(stacked, y, P)
+        total = part if total is None else V._add_fold_jit()(total, part)
     # acc * y^P + total
     return _axpy_jit()(total, enc_s(pow(y, P, FR)), acc)
 
@@ -342,6 +357,21 @@ def _perm_ratio_jit(m: int, usable: int):
         den = jnp.where(idx < usable, den, one)
         return num, den
     return f
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_ratio_many_jit(m: int, usable: int, C: int):
+    """num/den for C permutation chunks in one dispatch (vmapped over the
+    chunk axis) — the per-chunk loop cost ~2 syncs + ~15 dispatches PER
+    chunk (round-3 profile: 167 dispatches, 20 transfers for 10 chunks)."""
+    base = _perm_ratio_jit.__wrapped__(m, usable)
+    return jax.jit(jax.vmap(base, in_axes=(0, 0, 0, None, None, None)))
+
+
+@functools.lru_cache(maxsize=None)
+def _lookup_ratio_many_jit(usable: int, C: int):
+    base = _lookup_ratio_jit.__wrapped__(usable)
+    return jax.jit(jax.vmap(base, in_axes=(0, 0, 0, 0, None, None)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -433,12 +463,12 @@ def _lookup_rules_jit(f_ext: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _zh_div_jit(f_ext: int):
+def _lactive_jit():
     @jax.jit
-    def f(acc, zh_inv):  # zh_inv (NL, f_ext)
-        n_ext = acc.shape[-1]
-        tiled = jnp.tile(zh_inv, (1, n_ext // f_ext))
-        return ops.mont_mul(acc, tiled)
+    def f(llast, lblind):
+        one = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
+        return ops.fold(ops.sub(ops.sub(one, llast, amplitude=2),
+                                lblind, amplitude=2))
     return f
 
 
@@ -457,45 +487,6 @@ def _gather_concat_jit(n_head: int):
     def f(col, idx, tail):
         return jnp.concatenate([col[:, idx], tail], axis=-1)
     return f
-
-
-# ----------------------------- coset manager -----------------------------
-
-class _CosetCache:
-    """LRU cache of extended-coset column tensors (bounds HBM at big k)."""
-
-    def __init__(self, coeffs_of, ext_k: int, cap: int = COSET_CACHE_CAP):
-        self.coeffs_of = coeffs_of
-        self.ext_k = ext_k
-        self.cap = cap
-        self.cache: Dict[int, object] = {}
-
-    def __call__(self, gidx: int):
-        if gidx in self.cache:
-            v = self.cache.pop(gidx)
-            self.cache[gidx] = v
-            return v
-        v = V.coset_ntt(self.coeffs_of(gidx), self.ext_k, COSET_SHIFT)
-        if len(self.cache) >= self.cap:
-            self.cache.pop(next(iter(self.cache)))
-        self.cache[gidx] = v
-        return v
-
-    def prefill(self, gidxs):
-        """Batch-build missing coset columns (one NTT dispatch for the
-        group), respecting the HBM cap."""
-        missing = [g for g in dict.fromkeys(gidxs)
-                   if g not in self.cache][:self.cap]
-        if len(missing) < 2:
-            return
-        import jax.numpy as jnp
-        cosets = V.unstack(V.coset_ntt_many(
-            jnp.stack([self.coeffs_of(g) for g in missing]),
-            self.ext_k, COSET_SHIFT))
-        for g, v in zip(missing, cosets):
-            if len(self.cache) >= self.cap:
-                self.cache.pop(next(iter(self.cache)))
-            self.cache[g] = v
 
 
 # ------------------------- lookup pair construction -------------------------
@@ -728,7 +719,11 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     beta_m = enc_s(beta)
     gamma_m = enc_s(gamma)
 
-    # --- 2. permutation grand products (chunked) ---
+    # --- 2+2b. permutation & lookup grand products: ONE batched pass.
+    # All chunk ratios + all lookup ratios stack into (C, NL, n); one
+    # batched inversion (1 sync), one batched prefix-product (1 sync for
+    # the chunk-chaining totals), one scale. The previous per-chunk loop
+    # cost ~2 syncs + ~15 dispatches per chunk (round-3 profile).
     d = _cs_degree(cs)
     chunk_len = d - 2
     perm_cols = cs.permutation_columns
@@ -736,37 +731,67 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
               for i in range(0, len(perm_cols), chunk_len)]
     omega_pows = V.powers(dom.omega, n)
 
-    z_devs = []
-    last_z = 1
+    num_parts, den_parts = [], []
+    by_m: Dict[int, List[int]] = {}
     for c_idx, chunk in enumerate(chunks):
-        base = c_idx * chunk_len
-        m = len(chunk)
-        cols = jnp.stack([dev_cols[g] for g in chunk])
-        sigs = jnp.stack([pk.dev_sigma(base + off) for off in range(m)])
-        deltas = jnp.asarray(np.stack([
-            spec.encode(pow(DELTA, base + off, FR))[:, None]
-            for off in range(m)]))
-        num, den = _perm_ratio_jit(m, usable)(
-            cols, sigs, deltas, beta_m, gamma_m, omega_pows)
-        ratio = _ratio_jit()(num, V.batch_inv(den))
-        blind = [rand_fr() for _ in range(n_blind)]
-        z_dev, last_z = V.grand_product(ratio, last_z, usable, blind)
-        z_devs.append(z_dev)
+        by_m.setdefault(len(chunk), []).append(c_idx)
+    # chunks are contiguous by size (all chunk_len, then one remainder), so
+    # per-size outputs concatenate back in chunk order
+    for m in sorted(by_m, key=lambda mm: by_m[mm][0]):
+        idxs = by_m[m]
+        cols_b = jnp.stack([jnp.stack([dev_cols[g] for g in chunks[i]])
+                            for i in idxs])
+        sigs_b = jnp.stack([jnp.stack(
+            [pk.dev_sigma(i * chunk_len + off) for off in range(m)])
+            for i in idxs])
+        deltas_b = jnp.asarray(np.stack([np.stack(
+            [spec.encode(pow(DELTA, i * chunk_len + off, FR))[:, None]
+             for off in range(m)]) for i in idxs]))
+        num_b, den_b = _perm_ratio_many_jit(m, usable, len(idxs))(
+            cols_b, sigs_b, deltas_b, beta_m, gamma_m, omega_pows)
+        num_parts.append(num_b)
+        den_parts.append(den_b)
+    if lookups_data:
+        num_b, den_b = _lookup_ratio_many_jit(usable, len(lookups_data))(
+            jnp.stack([ld["a"] for ld in lookups_data]),
+            jnp.stack([ld["s"] for ld in lookups_data]),
+            jnp.stack([ld["ap"] for ld in lookups_data]),
+            jnp.stack([ld["sp"] for ld in lookups_data]),
+            beta_m, gamma_m)
+        num_parts.append(num_b)
+        den_parts.append(den_b)
 
+    n_chunks = len(chunks)
+    if num_parts:
+        nums = jnp.concatenate(num_parts) if len(num_parts) > 1 \
+            else num_parts[0]
+        dens = jnp.concatenate(den_parts) if len(den_parts) > 1 \
+            else den_parts[0]
+        ratios = _ratio_jit()(nums, V.batch_inv_many(dens))
+        blinds = [[rand_fr() for _ in range(n_blind)]
+                  for _ in range(ratios.shape[0])]
+        z_all, lasts = V.grand_product_many(ratios, usable, blinds)
+        # halo2 cross-chunk chaining: chunk c starts at prod_{j<c} t_j
+        if n_chunks:
+            starts = [1]
+            for t_c in lasts[:n_chunks - 1]:
+                starts.append(starts[-1] * t_c % FR)
+            z_perm = V.grand_product_scale(z_all[:n_chunks], usable, starts)
+            z_stack = jnp.concatenate([z_perm, z_all[n_chunks:]]) \
+                if z_all.shape[0] > n_chunks else z_perm
+        else:
+            z_stack = z_all
+        z_list = V.unstack(z_stack)
+    else:
+        z_stack, z_list = None, []
+    z_devs = z_list[:n_chunks]
     tm("permutation grand products")
-    # --- 2b. lookup grand products ---
-    for ld in lookups_data:
-        num, den = _lookup_ratio_jit(usable)(
-            ld["a"], ld["s"], ld["ap"], ld["sp"], beta_m, gamma_m)
-        ratio = _ratio_jit()(num, V.batch_inv(den))
-        blind = [rand_fr() for _ in range(n_blind)]
-        z_dev, _ = V.grand_product(ratio, 1, usable, blind)
+    for ld, z_dev in zip(lookups_data, z_list[n_chunks:]):
         ld["z"] = z_dev
     # one batched commit over perm Zs then lookup Zs (transcript order:
     # all perm Z points, then each lookup's Z point — no challenge between)
-    all_z = z_devs + [ld["z"] for ld in lookups_data]
-    if all_z:
-        z_all_comms = kzg.commit_lagrange_cols(srs, jnp.stack(all_z))
+    if z_stack is not None:
+        z_all_comms = kzg.commit_lagrange_cols(srs, z_stack)
     else:
         z_all_comms = []
     z_comms = z_all_comms[:len(z_devs)]
@@ -787,141 +812,156 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     y_m = enc_s(y)
 
     tm("random poly")
-    # --- 4. quotient on the extended coset ---
+    # --- 4. quotient, one interleaved sub-coset at a time ---
+    # The size-n_ext extended coset decomposes into f_ext interleaved
+    # size-n cosets: ext index p = j + i*f_ext <-> row i of sub-coset j
+    # (shift_j = COSET_SHIFT * w_ext^j, points shift_j * w^i since
+    # w_ext^f_ext = w). Constraint rotations are multiples of f_ext in the
+    # extended domain, i.e. roll-by-rot WITHIN a sub-coset; Z_H is a
+    # CONSTANT on each sub-coset. Evaluating per sub-coset therefore (a)
+    # cuts peak HBM by f_ext (the step circuit's ~700-column layout only
+    # fits 16 GB this way), (b) runs every NTT/gate program at size n —
+    # shared shapes with the rest of the pipeline, and (c) keeps the math
+    # exact (no approximation: the union of sub-cosets IS the coset).
     ext_k = k + max(1, (d - 1).bit_length())
     n_ext = 1 << ext_k
     f_ext = n_ext // n
+    ext_dom = Domain(ext_k)
+    w_ext = ext_dom.omega
 
-    coeffs_cache: Dict[int, object] = {}
-    # batched prefill: every column's coefficient form in a few device calls
-    _gidxs = sorted(dev_cols)
-    for _g, _cf in zip(_gidxs, V.unstack(V.intt_dev_many(
-            jnp.stack([dev_cols[g] for g in _gidxs]), k))):
-        coeffs_cache[_g] = _cf
-    pk.prefill_sigmas()
+    # ---- assemble ONE stacked coefficient tensor for everything the
+    # constraint pass reads: circuit columns, sigmas, perm Zs, lookup
+    # A'/S'/Z, and the three Lagrange indicators. One batched INTT for the
+    # eval-form groups, one concat; per-sub-coset evaluation is then ONE
+    # batched size-n coset NTT over the whole stack.
+    slot: Dict[object, int] = {}
+    eval_group: List = []           # eval-form columns to INTT (stacked)
 
-    def coeffs_of(gidx: int):
-        if gidx not in coeffs_cache:
-            coeffs_cache[gidx] = V.intt_dev(dev_cols[gidx], k)
-        return coeffs_cache[gidx]
+    def _reserve(key, dev_eval):
+        slot[key] = len(eval_group)
+        eval_group.append(dev_eval)
 
-    # eval-form columns are no longer needed: every later stage (quotient,
-    # evaluations, multiopen) works from coefficient forms. Freeing them
-    # returns ~40% of the column HBM before the memory-peak quotient stage.
-    dev_cols.clear()
-    pk.drop_eval_forms()
+    for g in sorted(dev_cols):
+        _reserve(("col", g), dev_cols[g])
+    for c_idx in range(len(z_devs)):
+        _reserve(("z", c_idx), z_devs[c_idx])
+    for li, ld in enumerate(lookups_data):
+        _reserve(("la", li), ld["ap"])
+        _reserve(("ls", li), ld["sp"])
+        _reserve(("lz", li), ld["z"])
 
-    coset = _CosetCache(coeffs_of, ext_k)
-
-    def coset_of_vec(vec_dev):
-        return V.coset_ntt(V.intt_dev(vec_dev, k), ext_k, COSET_SHIFT)
-
-    def coset_of_vecs(vec_devs):
-        """Batch: eval columns -> (coeff list, coset list), few calls."""
-        if not vec_devs:
-            return [], []
-        cfs = V.intt_dev_many(jnp.stack(vec_devs), k)
-        return (V.unstack(cfs),
-                V.unstack(V.coset_ntt_many(cfs, ext_k, COSET_SHIFT)))
-
-    # lagrange indicators on the coset
-    def indicator(rows: List[int]):
+    def _indic(rows: List[int]):
         e = np.zeros(n, np.int32)
         e[rows] = 1
-        vec = V.upload_ints(e.tolist(), n)
-        return coset_of_vec(vec)
+        return V.upload_ints(e.tolist(), n)
 
-    l0 = indicator([0])
-    llast = indicator([usable])
-    lblind = indicator(list(range(usable + 1, n)))
+    _reserve(("l0",), _indic([0]))
+    _reserve(("llast",), _indic([usable]))
+    _reserve(("lblind",), _indic(list(range(usable + 1, n))))
 
-    @jax.jit
-    def _lactive(llast, lblind):
-        one = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
-        return ops.fold(ops.sub(ops.sub(one, llast, amplitude=2),
-                                lblind, amplitude=2))
-    lactive = _lactive(llast, lblind)
+    pk.prefill_sigmas()
+    n_evalg = len(eval_group)
+    sig_coeffs = [pk.dev_sigma_coeffs(gi) for gi in range(len(perm_cols))]
+    for gi in range(len(perm_cols)):
+        slot[("sig", gi)] = n_evalg + gi
+    all_coeffs = V.intt_dev_many(jnp.stack(eval_group), k)
+    if sig_coeffs:
+        all_coeffs = jnp.concatenate([all_coeffs, jnp.stack(sig_coeffs)])
 
-    # identity X on the coset
-    ext_dom = Domain(ext_k)
-    xs = V.scalar_mul(V.powers(ext_dom.omega, n_ext), COSET_SHIFT)
+    # eval forms are no longer needed anywhere downstream (quotient,
+    # evaluations and multiopen all work from coefficients) — free them
+    # before the memory-peak sub-coset passes.
+    dev_cols_keys = sorted(dev_cols)
+    dev_cols.clear()
+    pk.drop_eval_forms()
+    pk.drop_sigma_coeffs()
+    del eval_group, z_stack, z_list, z_devs
+    for ld in lookups_data:
+        ld.pop("a", None), ld.pop("s", None)
+        ld.pop("ap", None), ld.pop("sp", None), ld.pop("z", None)
 
-    acc = jnp.zeros((NL, n_ext), jnp.int32)
+    def coeffs_of_key(key):
+        return all_coeffs[slot[key]]
 
-    # gate constraints (vmapped by structural group, one linear fold)
-    _gate_polys = [p for g in cs.gates for p in g.polys]
-    coset.prefill([gi for p in _gate_polys for gi in sorted(_expr_refs(p))])
-    acc = _fold_gate_polys(acc, _gate_polys, coset, y, f_ext)
+    def coeffs_of(gidx: int):
+        return coeffs_of_key(("col", gidx))
 
-    # permutation constraints
-    z_coeffs_all, z_cosets = coset_of_vecs(z_devs)
-    if chunks:
-        one_m = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
-        # l0 * (1 - Z_0)
-        acc = _fold_jit()(acc, y_m, ops.mont_mul(
-            l0, ops.sub(one_m, z_cosets[0], amplitude=2)))
-        # l_last * (Z_last^2 - Z_last)
-        zl = z_cosets[-1]
-        acc = _fold_jit()(acc, y_m, ops.mont_mul(
-            llast, ops.sub(ops.mont_mul(zl, zl), zl, amplitude=2)))
-        # chunk joins: l0 * (Z_c - Z_{c-1}(w^u X))
-        ushift = (usable * f_ext) % n_ext
-        for c in range(1, len(chunks)):
-            prev_rot = jnp.roll(z_cosets[c - 1], -ushift, axis=-1)
+    omega_pows_dev = omega_pows     # powers of w, reused as sub-coset X
+
+    h_subs = []
+    for j in range(f_ext):
+        shift_j = COSET_SHIFT * pow(w_ext, j, FR) % FR
+        sub_all = V.coset_ntt_many(all_coeffs, k, shift_j)
+        sub_cols = V.unstack(sub_all)
+
+        def get_col(gidx, _sc=sub_cols):
+            return _sc[slot[("col", gidx)]]
+
+        l0 = sub_cols[slot[("l0",)]]
+        llast = sub_cols[slot[("llast",)]]
+        lblind = sub_cols[slot[("lblind",)]]
+        lactive = _lactive_jit()(llast, lblind)
+
+        acc = jnp.zeros((NL, n), jnp.int32)
+
+        # gate constraints (vmapped by structural group + tape VM)
+        _gate_polys = [p for g in cs.gates for p in g.polys]
+        acc = _fold_gate_polys(acc, _gate_polys, get_col, y, 1)
+
+        # permutation constraints
+        if chunks:
+            z_sub = [sub_cols[slot[("z", c)]] for c in range(len(chunks))]
+            one_m = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
+            # l0 * (1 - Z_0)
             acc = _fold_jit()(acc, y_m, ops.mont_mul(
-                l0, ops.sub(z_cosets[c], prev_rot, amplitude=2)))
-        # main rule per chunk
-        for c_idx, chunk in enumerate(chunks):
-            coset.prefill(chunk)
-            base = c_idx * chunk_len
-            m = len(chunk)
-            cols = jnp.stack([coset(g) for g in chunk])
-            sigs = V.coset_ntt_many(
-                jnp.stack([pk.dev_sigma_coeffs(base + off)
-                           for off in range(m)]), ext_k, COSET_SHIFT)
-            deltas = jnp.asarray(np.stack([
-                spec.encode(pow(DELTA, base + off, FR))[:, None]
-                for off in range(m)]))
-            acc = _perm_rule_jit(m, f_ext)(
-                acc, y_m, z_cosets[c_idx], cols, sigs, xs, deltas,
-                beta_m, gamma_m, lactive)
+                l0, ops.sub(one_m, z_sub[0], amplitude=2)))
+            # l_last * (Z_last^2 - Z_last)
+            zl = z_sub[-1]
+            acc = _fold_jit()(acc, y_m, ops.mont_mul(
+                llast, ops.sub(ops.mont_mul(zl, zl), zl, amplitude=2)))
+            # chunk joins: l0 * (Z_c - Z_{c-1}(w^u X))
+            for c in range(1, len(chunks)):
+                prev_rot = jnp.roll(z_sub[c - 1], -(usable % n), axis=-1)
+                acc = _fold_jit()(acc, y_m, ops.mont_mul(
+                    l0, ops.sub(z_sub[c], prev_rot, amplitude=2)))
+            # main rule per chunk
+            xs = V.scalar_mul(omega_pows_dev, shift_j)
+            for c_idx, chunk in enumerate(chunks):
+                base = c_idx * chunk_len
+                m = len(chunk)
+                cols = jnp.stack([get_col(g) for g in chunk])
+                sigs = jnp.stack([sub_cols[slot[("sig", base + off)]]
+                                  for off in range(m)])
+                deltas = jnp.asarray(np.stack([
+                    spec.encode(pow(DELTA, base + off, FR))[:, None]
+                    for off in range(m)]))
+                acc = _perm_rule_jit(m, 1)(
+                    acc, y_m, z_sub[c_idx], cols, sigs, xs, deltas,
+                    beta_m, gamma_m, lactive)
 
-    # lookup constraints (ap/sp/z transformed in one batched pass)
-    if lookups_data:
-        _lk_cfs, _lk_cos = coset_of_vecs(
-            [c for ld in lookups_data
-             for c in (ld["ap"], ld["sp"], ld["z"])])
-        for i, ld in enumerate(lookups_data):
-            (ld["ap_coeffs"], ld["sp_coeffs"],
-             ld["z_coeffs"]) = _lk_cfs[3 * i:3 * i + 3]
-            (ld["ap_cos"], ld["sp_cos"],
-             ld["z_cos"]) = _lk_cos[3 * i:3 * i + 3]
-    for lk, ld in zip(cs.lookups, lookups_data):
-        def compress_coset(exprs):
-            arrs = [eval_expr(e, _CosetDict(coset), spec, rot_unit=f_ext)
-                    if not (isinstance(e, ColumnRef) and e.rotation == 0)
-                    else coset(e.index) for e in exprs]
-            if len(arrs) == 1:
-                return arrs[0]
-            return _theta_fold_jit(len(arrs))(theta_m, jnp.stack(arrs))
+        # lookup constraints
+        for li, (lk, ld) in enumerate(zip(cs.lookups, lookups_data)):
+            def compress_sub(exprs):
+                arrs = [eval_expr(e, _CosetDict(get_col), spec, rot_unit=1)
+                        if not (isinstance(e, ColumnRef) and e.rotation == 0)
+                        else get_col(e.index) for e in exprs]
+                if len(arrs) == 1:
+                    return arrs[0]
+                return _theta_fold_jit(len(arrs))(theta_m, jnp.stack(arrs))
 
-        a_cos = compress_coset(lk.inputs)
-        s_cos = compress_coset(lk.tables)
-        acc = _lookup_rules_jit(f_ext)(
-            acc, y_m, ld["z_cos"], a_cos, s_cos, ld["ap_cos"],
-            ld["sp_cos"], l0, llast, lactive, beta_m, gamma_m)
+            a_sub = compress_sub(lk.inputs)
+            s_sub = compress_sub(lk.tables)
+            acc = _lookup_rules_jit(1)(
+                acc, y_m, sub_cols[slot[("lz", li)]], a_sub, s_sub,
+                sub_cols[slot[("la", li)]], sub_cols[slot[("ls", li)]],
+                l0, llast, lactive, beta_m, gamma_m)
 
-    # divide by Z_H on the coset (periodic values)
-    sn = pow(COSET_SHIFT, n, FR)
-    wn = pow(ext_dom.omega, n, FR)
-    zh = []
-    curw = 1
-    for _ in range(f_ext):
-        zh.append((sn * curw - 1) % FR)
-        curw = curw * wn % FR
-    zh_inv_host = batch_inv_mod(zh, FR)
-    zh_inv = V.upload_ints(zh_inv_host, f_ext)
-    h_evals = _zh_div_jit(f_ext)(acc, zh_inv)
+        # divide by Z_H (constant on this sub-coset)
+        zh_j = (pow(COSET_SHIFT, n, FR) * pow(w_ext, n * j, FR) - 1) % FR
+        h_subs.append(V.scalar_mul(acc, inv_mod(zh_j, FR)))
+
+    # interleave: position p = i*f_ext + j holds sub-coset j row i
+    h_evals = jnp.stack(h_subs, axis=-1).reshape(NL, n_ext)
     h_coeffs = V.coset_intt(h_evals, ext_k, COSET_SHIFT)
 
     tm("quotient construction")
@@ -952,19 +992,22 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         sched.append((("col", gcol), coeffs_of(gcol), z))
     sched.append((("rand",), rand_coeffs, x))
     for gi in range(len(perm_cols)):
-        sched.append((("sig", gi), pk.dev_sigma_coeffs(gi), x))
-    z_coeffs = z_coeffs_all
+        sched.append((("sig", gi), coeffs_of_key(("sig", gi)), x))
     for c_idx in range(len(chunks)):
-        sched.append((("z", c_idx), z_coeffs[c_idx], x))
-        sched.append((("z", c_idx), z_coeffs[c_idx], x_next))
+        zc = coeffs_of_key(("z", c_idx))
+        sched.append((("z", c_idx), zc, x))
+        sched.append((("z", c_idx), zc, x_next))
     for c_idx in range(1, len(chunks)):
-        sched.append((("z", c_idx - 1), z_coeffs[c_idx - 1], x_last))
-    for li, ld in enumerate(lookups_data):
-        sched.append((("lz", li), ld["z_coeffs"], x))
-        sched.append((("lz", li), ld["z_coeffs"], x_next))
-        sched.append((("la", li), ld["ap_coeffs"], x))
-        sched.append((("la", li), ld["ap_coeffs"], x_prev))
-        sched.append((("ls", li), ld["sp_coeffs"], x))
+        sched.append((("z", c_idx - 1), coeffs_of_key(("z", c_idx - 1)),
+                      x_last))
+    for li in range(len(lookups_data)):
+        lz = coeffs_of_key(("lz", li))
+        la = coeffs_of_key(("la", li))
+        sched.append((("lz", li), lz, x))
+        sched.append((("lz", li), lz, x_next))
+        sched.append((("la", li), la, x))
+        sched.append((("la", li), la, x_prev))
+        sched.append((("ls", li), coeffs_of_key(("ls", li)), x))
 
     # batch evals per point (chunked stacking bounds memory)
     by_point: Dict[int, List[int]] = {}

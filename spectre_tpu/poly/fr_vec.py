@@ -153,6 +153,37 @@ def _prefix_graph(v):
     return p
 
 
+def _ones_like_slice(v, s: int):
+    one = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
+    return jnp.broadcast_to(one, v.shape[:-1] + (s,))
+
+
+def _prefix_graph_b(v):
+    """Inclusive prefix product along the last axis of (..., NL, n) —
+    the batched _prefix_graph (one graph for C independent columns)."""
+    n = v.shape[-1]
+    p = v
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate(
+            [_ones_like_slice(v, s), p[..., :-s]], axis=-1)
+        p = ops.mont_mul(p, shifted)
+        s <<= 1
+    return p
+
+
+def _suffix_graph_b(v):
+    n = v.shape[-1]
+    p = v
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate(
+            [p[..., s:], _ones_like_slice(v, s)], axis=-1)
+        p = ops.mont_mul(p, shifted)
+        s <<= 1
+    return p
+
+
 def _suffix_graph(v):
     """Inclusive suffix product along the lane axis of (NL, n)."""
     n = v.shape[-1]
@@ -367,6 +398,38 @@ def batch_inv(v):
 
 
 @functools.lru_cache(maxsize=None)
+def _binv_many_jit(C: int, n: int):
+    @jax.jit
+    def pre(v):                       # (C, NL, n)
+        return _prefix_graph_b(v)
+
+    @jax.jit
+    def combine(v, pre_p, tinv):      # tinv (C, NL, 1)
+        suf = _suffix_graph_b(v)
+        p_ex = jnp.concatenate(
+            [_ones_like_slice(v, 1), pre_p[..., :-1]], axis=-1)
+        s_ex = jnp.concatenate(
+            [suf[..., 1:], _ones_like_slice(v, 1)], axis=-1)
+        r = ops.mont_mul(p_ex, s_ex)
+        return ops.mont_mul(r, tinv)
+
+    return pre, combine
+
+
+def batch_inv_many(v):
+    """Elementwise inverse of C stacked nonzero columns (C, NL, n): one
+    device prefix pass, ONE host transfer of the C per-column totals, C
+    host inversions, one combine pass — vs C syncs for C batch_inv calls."""
+    C, n = v.shape[0], v.shape[-1]
+    pre, combine = _binv_many_jit(C, n)
+    P = pre(v)
+    totals = download_ints(P[..., -1:])       # C canonical ints
+    tinvs = [inv_mod(t, FR) for t in totals]
+    tinv = jnp.swapaxes(upload_ints(tinvs, C), 0, 1)[:, :, None]
+    return combine(v, P, tinv)
+
+
+@functools.lru_cache(maxsize=None)
 def _grand_product_jit(n: int, usable: int):
     @jax.jit
     def f(ratio, start_mont, blind_tail):
@@ -390,6 +453,51 @@ def grand_product(ratio, start: int, usable: int, blind: List[int]):
     tail = upload_ints([0] * (usable + 1) + list(blind), n)
     z, last = _grand_product_jit(n, usable)(ratio, enc_s(start), tail)
     return z, download_int(last)
+
+
+@functools.lru_cache(maxsize=None)
+def _grand_product_many_jit(C: int, n: int, usable: int):
+    @jax.jit
+    def f(ratios, blind_tails):       # (C, NL, n) each
+        idx = jnp.arange(n)[None, :]
+        one = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
+        r = jnp.where(idx < usable, ratios, one)
+        pp = _prefix_graph_b(r)
+        pp_ex = jnp.concatenate(
+            [_ones_like_slice(r, 1), pp[..., :-1]], axis=-1)
+        z = jnp.where(idx <= usable, pp_ex, blind_tails)
+        lasts = pp[..., usable - 1:usable]
+        return z, ops.canon(lasts, 2)
+
+    @jax.jit
+    def scale(z, starts):             # starts (C, NL, 1)
+        idx = jnp.arange(z.shape[-1])[None, :]
+        scaled = ops.mont_mul(z, starts)
+        return jnp.where(idx <= usable, scaled, z)
+
+    return f, scale
+
+
+def grand_product_many(ratios, usable: int, blinds):
+    """C grand-product columns in one pass, each with Z_{c,0} = 1 and the
+    supplied blinding tails. Returns (Z, lasts) where lasts[c] = Z_c at row
+    `usable` (canonical ints, ONE transfer). For halo2's cross-chunk
+    chaining scale afterwards with grand_product_scale."""
+    C, n = ratios.shape[0], ratios.shape[-1]
+    f, _scale = _grand_product_many_jit(C, n, usable)
+    tails = upload_ints_many(
+        [[0] * (usable + 1) + list(b) for b in blinds], n)
+    z, lasts = f(ratios, tails)
+    return z, download_ints(lasts)
+
+
+def grand_product_scale(z, usable: int, starts):
+    """Scale rows <= usable of each Z column by starts[c] (canonical ints);
+    blinding rows stay untouched."""
+    C, n = z.shape[0], z.shape[-1]
+    _f, scale = _grand_product_many_jit(C, n, usable)
+    s = jnp.swapaxes(upload_ints(list(starts), C), 0, 1)[:, :, None]
+    return scale(z, s)
 
 
 @functools.lru_cache(maxsize=None)

@@ -341,14 +341,10 @@ def _download_cols_t(cols_mont_t):
 
 def commit_lagrange_col(srs: SrsKZG, col_mont_t):
     """Commit a device-resident TRANSPOSED (NL, n) Montgomery eval column
-    (one device call + host fallback below the device threshold)."""
-    from ..fields.limb_t import make_ops_t
-    n = col_mont_t.shape[-1]
-    if n < DEVICE_MSM_MIN:
-        return commit_lagrange_host(srs, _download_cols_t(col_mont_t))
-    from .msm_pippenger import commit_dev_t
-    enc = tuple(c[:, :n] for c in _lag_enc_dev_t(srs, n))
-    return commit_dev_t(enc, make_ops_t("bn254_fr").from_mont(col_mont_t))
+    (routes through the batched kernel at C=1 so single commits share the
+    vmapped program family instead of tracing a separate scalar program —
+    tunnel traces/compile-cache loads cost tens of seconds each)."""
+    return commit_lagrange_cols(srs, col_mont_t[None])[0]
 
 
 def commit_lagrange_cols(srs: SrsKZG, cols_mont_t):
@@ -379,13 +375,7 @@ def commit_coeff_cols(srs: SrsKZG, cols_mont_t):
 
 
 def commit_coeff_col(srs: SrsKZG, coeffs_mont_t):
-    from ..fields.limb_t import make_ops_t
-    n = coeffs_mont_t.shape[-1]
-    if n < DEVICE_MSM_MIN:
-        return commit_coeff_host(srs, _download_cols_t(coeffs_mont_t))
-    from .msm_pippenger import commit_dev_t
-    enc = tuple(c[:, :n] for c in _coeff_enc_dev_t(srs, n))
-    return commit_dev_t(enc, make_ops_t("bn254_fr").from_mont(coeffs_mont_t))
+    return commit_coeff_cols(srs, coeffs_mont_t[None])[0]
 
 
 def commit_coeff_host(srs: SrsKZG, coeffs: list):

@@ -538,14 +538,19 @@ def commit_dev_many_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
             totals = [t if p is None else hcurve.add(t, p)
                       for t, p in zip(totals, parts)]
         return totals
-    width = max(1, min(_CHUNK, (1 << 28) // max(N * 320, 1)))
-    width = 1 << (width.bit_length() - 1)
+    max_width = max(1, min(_CHUNK, (1 << 28) // max(N * 320, 1)))
+    max_width = 1 << (max_width.bit_length() - 1)
     fn = _commit_t_many_jit(curve)
     outs = []
     with L.compact_redc():
-        for i in range(0, C, width):
-            blk = S[i:i + width]
+        for i in range(0, C, max_width):
+            blk = S[i:i + max_width]
             take = blk.shape[0]
+            # pad only to the next power of two (<= log2(max_width)
+            # program shapes per (curve, N)): committing 4 h pieces through
+            # a 32-wide program wasted 8x device compute (round-3 measured
+            # 24 s for the h-commit phase at nano)
+            width = 1 << max(0, (take - 1).bit_length())
             if take < width:
                 blk = jnp.concatenate(
                     [blk, jnp.zeros((width - take,) + blk.shape[1:],

@@ -136,6 +136,11 @@ def _cmd_circuit(args) -> int:
             witness = cls.default_witness(spec)
         pk = cls.create_pk(spec, args.k, srs, pk_path=pk_path,
                            pinning_path=pin_path, witness=witness)
+        # prover-mode layout reproducibility: read the committed pinning
+        # and fail loudly if the derived layout drifted (util/circuit.rs
+        # Halo2ConfigPinning round-trip)
+        pinning = Pinning.from_path(pin_path) if os.path.exists(pin_path) \
+            else None
         t0 = time.time()
         if compressed:
             # production shape (rpc.rs:144-160): inner snark -> aggregation
@@ -143,7 +148,8 @@ def _cmd_circuit(args) -> int:
             from ..circuits.aggregation import (AggregationCircuit,
                                                 AggregationInput)
             srs_a = kzg.cached_srs(args.agg_k)
-            inner_proof, inner_inst = cls.gen_snark(pk, spec, srs, witness)
+            inner_proof, inner_inst = cls.gen_snark(pk, spec, srs, witness,
+                                                    pinning=pinning)
             agg_in = AggregationInput(pk.vk, inner_proof.data, inner_inst)
             agg_pk_path = os.path.join(
                 args.build_dir, f"{args.proof}_{args.spec}_agg_pk.pkl")
@@ -169,7 +175,8 @@ def _cmd_circuit(args) -> int:
                                  for col in instances]}
             print(json.dumps(out))
             return 0 if ok else 4
-        proof, instances = cls.gen_proof(pk, spec, srs, witness)
+        proof, instances = cls.gen_proof(pk, spec, srs, witness,
+                                          pinning=pinning)
         dt = time.time() - t0
         ok = cls.verify(pk, srs, proof, instances)
         out = {"status": "ok" if ok else "verify-failed",
@@ -226,6 +233,12 @@ def _cmd_circuit(args) -> int:
                     pk, spec, srs, cls_.default_witness(spec))
             ok, gas = cls_.evm_verify(code, instances, proof)
             out.update(evm_ok=bool(ok), gas=gas)
+            if not ok:
+                # the reference cli.rs propagates a verify failure as an
+                # error; match the prove path's exit code
+                out["status"] = "verify-failed"
+                print(json.dumps(out))
+                return 4
         print(json.dumps(out))
         return 0
 

@@ -80,3 +80,40 @@ def test_full_evm_lifecycle(tmp_path, srs):
                                      path=str(tmp_path / "calldata.hex"))
     assert data.startswith(b"".join(
         v.to_bytes(32, "big") for col in inst2 for v in col))
+
+
+def test_pinning_round_trip_and_tamper(tmp_path, srs):
+    """Keygen writes the full layout pinning; prover-mode compile verifies
+    it (Halo2ConfigPinning round-trip, util/circuit.rs:26-52) and a
+    tampered pinning fails loudly."""
+    import json as _json
+    from spectre_tpu.circuits.builder import PinningMismatch
+
+    pin_path = str(tmp_path / "toy_pin.json")
+    pk = ToyCircuit.create_pk(None, K, srs, pinning_path=pin_path)
+    pin = Pinning.from_path(pin_path)
+    assert pin.break_points and pin.layout_hash and pin.n_fixed is not None
+
+    # good pinning: prove + verify passes
+    proof, inst = ToyCircuit.gen_proof(pk, None, srs, {"x": 5, "w": 7},
+                                       pinning=pin)
+    assert ToyCircuit.verify(pk, srs, proof, inst)
+
+    # tampered break points: loud failure
+    with open(pin_path) as f:
+        d = _json.load(f)
+    d["break_points"] = [v + 1 for v in d["break_points"]]
+    with open(pin_path, "w") as f:
+        _json.dump(d, f)
+    bad = Pinning.from_path(pin_path)
+    with pytest.raises(PinningMismatch):
+        ToyCircuit.gen_proof(pk, None, srs, {"x": 5, "w": 7}, pinning=bad)
+
+    # tampered layout hash: loud failure
+    d["break_points"] = pin.break_points
+    d["layout_hash"] = "0" * 32
+    with open(pin_path, "w") as f:
+        _json.dump(d, f)
+    with pytest.raises(PinningMismatch):
+        ToyCircuit.gen_proof(pk, None, srs, {"x": 5, "w": 7},
+                             pinning=Pinning.from_path(pin_path))

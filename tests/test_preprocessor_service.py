@@ -148,3 +148,24 @@ def test_cli_committee_poseidon(tmp_path, capsys):
     assert ns.estimate_gas and ns.command == "gen-verifier"
     with pytest.raises(SystemExit):   # argparse rejects unknown circuits
         main(["circuit", "not-a-circuit", "gen-verifier"])
+
+
+def test_cli_gen_verifier_estimate_gas(tmp_path, capsys, monkeypatch):
+    """End-to-end gen-verifier --estimate-gas over a cheap k=5 circuit:
+    generates real verifier bytecode, proves the dummy witness, runs the
+    in-process EVM, and reports gas (cli.rs:259-268 analog)."""
+    import json
+    from spectre_tpu.service import cli
+    from tests.test_app_lifecycle import ToyCircuit
+
+    monkeypatch.setattr(cli, "_circuit_cls", lambda proof: ToyCircuit)
+    monkeypatch.setenv("PARAMS_DIR", str(tmp_path / "params"))
+    rc = cli.main([
+        "circuit", "committee-update", "gen-verifier", "-k", "5",
+        "--spec", "minimal", "--build-dir", str(tmp_path),
+        "--config-path", str(tmp_path), "--estimate-gas"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0, out
+    assert out["status"] == "ok" and out["evm_ok"] is True
+    assert out["gas"] > 0
+    assert out["bytecode_bytes"] > 0

@@ -75,20 +75,23 @@ def test_stubbed_prove_roundtrip(server, monkeypatch):
 
     class FakeCircuit:
         @classmethod
-        def gen_proof(cls, pk, spec, srs, args):
+        def gen_snark(cls, pk, spec, srs, args):
             from spectre_tpu.witness.rotation import (
                 committee_update_instances)
             return type("P", (), {"data": b"\x01\x02"})(), \
                 committee_update_instances(args)
 
-        @classmethod
-        def verify(cls, pk, srs, proof, inst):
-            return True
+    def fake_compress(state, kind, pk, inner_proof, inner_inst):
+        # aggregation instance layout: 12 accumulator limbs then the
+        # flattened inner instances (rpc.rs:106 extraction contract)
+        flat = [v for col in inner_inst for v in col]
+        return bytes(inner_proof.data), [list(range(12)) + flat]
 
     monkeypatch.setattr(rpcmod.ProverState, "_circuit",
                         staticmethod(lambda kind: FakeCircuit))
     monkeypatch.setattr(rpcmod.ProverState, "pk", lambda self, kind: None)
     monkeypatch.setattr(rpcmod.ProverState, "srs", lambda self, k: None)
+    monkeypatch.setattr(rpcmod, "_compress", fake_compress)
 
     # synthetic but structurally valid light-client update (the same
     # construction the preprocessor tests use)
@@ -129,5 +132,8 @@ def test_stubbed_prove_roundtrip(server, monkeypatch):
     }
     c = Client(url)
     out = c.gen_evm_proof_committee_update(update)
-    assert out["proof"] == [1, 2]
-    assert len(out["instances"][0]) == 3
+    assert out["proof"] == [1, 2]           # calldata bytes
+    # 12 accumulator limbs + the 3 inner instances
+    assert len(out["instances"][0]) == 15
+    # committee_poseidon = instances[0][12] (rpc.rs:106)
+    assert out["committee_poseidon"] == out["instances"][0][12]
