@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spec", default="nano", choices=["nano", "minimal"])
+    ap.add_argument("--spec", default="nano",
+                    choices=["nano", "minimal", "testnet"])
+    ap.add_argument("--witness", default=None,
+                    help="witness JSON (testnet default: the reference's "
+                         "golden test_data/rotation_512.json)")
     ap.add_argument("--k", type=int, default=17)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--trace", action="store_true")
@@ -67,9 +71,15 @@ def main():
         witness = CommitteeUpdateArgs(
             pubkeys_compressed=pubkeys, finalized_header=header,
             sync_committee_branch=branch, spec=spec)
-    else:
+    elif args.spec == "minimal":
         spec = MINIMAL
         witness = CommitteeUpdateArgs.default(spec)
+    else:
+        from spectre_tpu.specs import TESTNET
+        spec = TESTNET
+        path = args.witness or \
+            "/root/reference/test_data/rotation_512.json"
+        witness = CommitteeUpdateArgs.from_file(path, spec)
 
     log(f"building circuit ({spec.name}, {spec.sync_committee_size} keys)")
     builder = CommitteeUpdateCircuit.build(witness, spec)
@@ -80,6 +90,17 @@ def main():
     cs, fixed, advice, instances = builder.compile(args.k)
     log(f"compiled k={args.k}: advice={len(cs.advice)} fixed={len(cs.fixed)} "
         f"lookups={len(cs.lookups)} copies={len(cs.copies)}")
+    if args.spec == "testnet":
+        # commit the layout pinning like the reference's
+        # lightclient-circuits/config/committee_update_testnet.json
+        from spectre_tpu.circuits.app import Pinning
+        pin_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "config", "committee_update_testnet.json")
+        Pinning.from_layout(builder.last_layout,
+                            meta={"circuit": "CommitteeUpdateCircuit",
+                                  "spec": "testnet"}).write(pin_path)
+        log(f"pinning written: {pin_path}")
 
     t0 = time.time()
     srs = kzg.cached_srs(args.k)

@@ -90,7 +90,13 @@ def _precompile(addr: int, data: bytes):
         M = int.from_bytes(data[p:p + msize], "big")
         out = pow(B, E, M) if M else 0
         words = (max(bsize, msize) + 7) // 8
-        it = max(E.bit_length() - 1, 0) if esize <= 32 else 8 * (esize - 32)
+        # EIP-2565 iteration count: exponents beyond 32 bytes add
+        # 8*(esize-32) plus the bit length of the low 256 bits
+        if esize <= 32:
+            it = max(E.bit_length() - 1, 0)
+        else:
+            it = 8 * (esize - 32) + max(
+                (E % (1 << 256)).bit_length() - 1, 0)
         gas = max(200, words * words * max(it, 1) // 3)
         return True, out.to_bytes(msize, "big"), gas
 

@@ -97,15 +97,49 @@ class MockProver:
                 slow.append((g, pi, p))
 
         if slow:
-            @jax.jit
-            def gate_fail_rows(cols):
-                outs = []
-                for _, _, p in slow:
-                    v = eval_expr(p, cols, self.spec)
-                    outs.append(~ops.is_zero(v, amplitude=32))
-                return outs
+            # group structurally identical polys (e.g. the vertical gate on
+            # every advice column) and vmap members through ONE compiled
+            # program per shape — a single jit over all polys built a
+            # compile-killing graph at step-circuit scale (351 columns,
+            # 20.7M cells: the round-2 minimal step mock never finished)
+            from .prover import _remap_expr
+            groups: dict = {}
+            for idx, (_g, _pi, p) in enumerate(slow):
+                refs = sorted(collect_columns(p))
+                canon = _remap_expr(p, {gi: i for i, gi in enumerate(refs)})
+                groups.setdefault(canon, []).append((idx, refs))
 
-            results = gate_fail_rows(self.columns)
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def group_jit(canon):
+                @jax.jit
+                def f(stacked):
+                    def one(cols):
+                        v = eval_expr(canon, list(cols), self.spec)
+                        return ~ops.is_zero(v, amplitude=32)
+                    return jax.vmap(one)(stacked)
+                return f
+
+            results = [None] * len(slow)
+            for canon, members in groups.items():
+                R = max(1, len(members[0][1]))
+                # member chunk bounds the stacked transient (~n*96B per col)
+                gw = max(1, min(16, (1 << 29) // max(
+                    R * self.n * 96, 1)))
+                fn = group_jit(canon)
+                for off in range(0, len(members), gw):
+                    blk = members[off:off + gw]
+                    take = len(blk)
+                    width = 1 << max(0, (take - 1).bit_length())
+                    stacks = [jnp.stack([self.columns[gi] for gi in refs]
+                                        or [self.columns[0]])
+                              for (_idx, refs) in blk]
+                    while len(stacks) < width:
+                        stacks.append(jnp.zeros_like(stacks[0]))
+                    out = fn(jnp.stack(stacks))
+                    for j, (idx, _refs) in enumerate(blk):
+                        results[idx] = out[j]
             for (g, pi, _), nzd in zip(slow, results):
                 nz = np.asarray(nzd)
                 bad = np.nonzero(nz[:usable])[0]
