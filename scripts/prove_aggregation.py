@@ -17,11 +17,78 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _committee_nano_inner(inner_k: int, log):
+    """REAL inner snark: CommitteeUpdateCircuit at nano (4 keys), Poseidon
+    transcript — the app-circuit stage of the reference's compressed
+    pipeline (rpc.rs:144-149). PK and proof are disk-cached in build/ so
+    the aggregation stage can iterate without re-proving."""
+    import pickle
+    import random
+    from spectre_tpu.specs import Spec
+    from spectre_tpu import ssz
+    from spectre_tpu.curves import host as H
+    from spectre_tpu.witness.rotation import CommitteeUpdateArgs
+    from spectre_tpu.circuits.committee_update import CommitteeUpdateCircuit
+    from spectre_tpu.plonk.verifier import verify_proof
+    from spectre_tpu.poly import kzg
+
+    spec = Spec(name="nano", sync_committee_size=4)
+    rng = random.Random(42)
+    pts = [H.bls_g1.mul(H.bls_g1.gen, rng.randrange(1, 1 << 64))
+           for _ in range(spec.sync_committee_size)]
+    pubkeys = [H.g1_compress(p) for p in pts]
+    pk_root = ssz.sync_committee_pubkeys_root(pubkeys)
+    branch = [bytes([rng.randrange(256) for _ in range(32)])
+              for _ in range(spec.sync_committee_pubkeys_depth)]
+    state_root = ssz.mock_root(pk_root, branch,
+                               spec.sync_committee_pubkeys_root_index)
+    header = ssz.BeaconBlockHeader(slot=1234, state_root=state_root)
+    wit = CommitteeUpdateArgs(pubkeys_compressed=pubkeys,
+                              finalized_header=header,
+                              sync_committee_branch=branch, spec=spec)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    srs = kzg.cached_srs(inner_k)
+    pk_path = os.path.join(repo, "build",
+                           f"committee_nano_k{inner_k}_pk.pkl")
+    pk_i = CommitteeUpdateCircuit.create_pk(spec, inner_k, srs,
+                                            pk_path=pk_path, witness=wit)
+    log(f"inner committee-nano pk ready (k={inner_k})")
+
+    proof_path = os.path.join(
+        repo, "build", f"committee_nano_k{inner_k}_poseidon_proof.pkl")
+    builder = CommitteeUpdateCircuit.build(wit, spec)
+    inst_i = builder.instances()
+    if os.path.exists(proof_path):
+        with open(proof_path, "rb") as f:
+            inner_proof = pickle.load(f)
+    else:
+        inner_proof, got = CommitteeUpdateCircuit.gen_snark(
+            pk_i, spec, srs, wit)
+        assert got == inst_i, "instance parity"
+        with open(proof_path, "wb") as f:
+            pickle.dump(inner_proof, f)
+    assert verify_proof(pk_i.vk, srs, inner_proof, inst_i,
+                        transcript="poseidon"), "inner verify"
+    log(f"inner snark ready: k={inner_k}, {len(inner_proof.data)} bytes")
+    return inst_i, pk_i, inner_proof
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=17)
     ap.add_argument("--inner-k", type=int, default=5)
+    ap.add_argument("--inner", default="toy",
+                    choices=["toy", "committee-nano"],
+                    help="inner snark: 'toy' (k=5 gate circuit) or "
+                         "'committee-nano' — the REAL CommitteeUpdate "
+                         "circuit at the 4-key nano spec (inner-k=13), "
+                         "i.e. the rpc.rs:144-160 production pipeline "
+                         "shape end-to-end")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--budget-only", action="store_true",
+                    help="build the aggregation circuit, print its cell "
+                         "count + minimal k, and exit before any keygen")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -32,6 +99,8 @@ def main():
     def log(m):
         print(f"[{time.time()-t_start:7.1f}s] {m}", flush=True)
 
+    from spectre_tpu.jax_cache import enable as _enable_cache
+    _enable_cache()
     from spectre_tpu.circuits.builder import CircuitBuilder
     from spectre_tpu.circuits.range_chip import RangeChip
     from spectre_tpu.circuits.aggregation import (
@@ -46,18 +115,22 @@ def main():
     from spectre_tpu.evm.interp import execute
 
     # ---- inner snark ----
-    b = CircuitBuilder()
-    rc = RangeChip(b, 3)
-    ctx = b.main()
-    x = ctx.assign(5)
-    y = ctx.assign(7)
-    s = ctx.add(x, y)
-    p = ctx.mul(s, s)
-    rc.range_check(ctx, x, 3)
-    b.expose_public(p)
-    cs_i, fixed_i, advice_i, inst_i = b.compile(args.inner_k)
-    srs_i = kzg.test_srs(args.inner_k)
-    pk_i = keygen(cs_i, args.inner_k, fixed_i, srs_i)
+    if args.inner == "committee-nano":
+        args.inner_k = max(args.inner_k, 13)
+        inst_i, pk_i, inner_proof = _committee_nano_inner(args.inner_k, log)
+    else:
+        b = CircuitBuilder()
+        rc = RangeChip(b, 3)
+        ctx = b.main()
+        x = ctx.assign(5)
+        y = ctx.assign(7)
+        s = ctx.add(x, y)
+        p = ctx.mul(s, s)
+        rc.range_check(ctx, x, 3)
+        b.expose_public(p)
+        cs_i, fixed_i, advice_i, inst_i = b.compile(args.inner_k)
+        srs_i = kzg.test_srs(args.inner_k)
+        pk_i = keygen(cs_i, args.inner_k, fixed_i, srs_i)
     inner_proof = create_proof(pk_i, srs_i, advice_i, inst_i,
                                transcript="poseidon")
     assert verify_proof(pk_i.vk, srs_i, inner_proof, inst_i,
@@ -69,7 +142,12 @@ def main():
                                 AggregationWitness(inner_proof.data, inst_i))
     want = aggregation_instances(pk_i.vk, inner_proof.data, inst_i)
     assert builder.instances() == want, "accumulator parity"
-    log(f"aggregation circuit built: {len(builder.main().cells)} cells")
+    n_cells = len(builder.main().cells)
+    log(f"aggregation circuit built: {n_cells} cells")
+    if args.budget_only:
+        print(json.dumps({"inner": args.inner, "inner_k": args.inner_k,
+                          "agg_cells": n_cells}))
+        return 0
 
     cs, fixed, advice, instances = builder.compile(args.k)
     log(f"compiled k={args.k}: advice={len(cs.advice)} fixed={len(cs.fixed)}")

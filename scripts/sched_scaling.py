@@ -24,7 +24,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--jobs", type=int, default=8)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--hosts", action="store_true",
+                    help="measure MULTI-PROCESS (one JAX runtime per "
+                         "'host', DCN-analog sockets) scaling instead of "
+                         "the in-process device pool")
     args = ap.parse_args()
+
+    if args.hosts:
+        return main_hosts(args)
 
     import jax
     from spectre_tpu.poly import kzg
@@ -78,6 +85,44 @@ def main():
             "efficiency": round(thr / base / nw, 3),
         })
     print(json.dumps({"k": args.k, "jobs": args.jobs, "scaling": results}))
+    return 0
+
+
+def main_hosts(args):
+    """Proof-throughput scaling over worker PROCESSES (BASELINE #5's
+    multi-host axis): each worker owns a full JAX runtime; the coordinator
+    feeds a FIFO over local sockets (the DCN stand-in)."""
+    from spectre_tpu.service.hostpool import HostPool
+
+    results = []
+    base = None
+    for nh in (1, 2, 4):
+        pool = HostPool(nh)
+        try:
+            # warm every worker's per-process pk/compile caches
+            warm = [pool.submit("toy_prove", {"k": args.k, "x": 1})
+                    for _ in range(nh)]
+            for j in warm:
+                pool.wait(j, timeout=1200)
+            t0 = time.time()
+            jids = [pool.submit("toy_prove", {"k": args.k, "x": x})
+                    for x in range(1, args.jobs + 1)]
+            for j in jids:
+                pool.wait(j, timeout=1200)
+            dt = time.time() - t0
+        finally:
+            pool.stop()
+        thr = args.jobs / dt
+        if base is None:
+            base = thr
+        results.append({
+            "hosts": nh,
+            "proofs_per_s": round(thr, 3),
+            "speedup": round(thr / base, 3),
+            "efficiency": round(thr / base / nh, 3),
+        })
+    print(json.dumps({"k": args.k, "jobs": args.jobs, "mode": "hosts",
+                      "scaling": results}))
     return 0
 
 

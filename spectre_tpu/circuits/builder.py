@@ -20,10 +20,16 @@ for any input) — the same contract halo2-base imposes; keygen runs the
 builder on default witnesses exactly like the reference
 (util/circuit.rs:119-137 keygen flow).
 
-v1 layout: one advice column (plus one lookup-advice column when the range
-table is used). Multi-column break-point layout — halo2-base's
-MultiPhaseThreadBreakPoints (config/*.json pinnings) — is the planned
-widening for tall circuits.
+Layout: MULTI-COLUMN with break points — the virtual column flows down a
+physical column of `usable` rows and spills into the next (halo2-base's
+MultiPhaseThreadBreakPoints analog); a vertical-gate window never straddles
+a break (its shared prefix is duplicated and copy-linked). Lookup pins and
+fixed tables get their own column families. The derived layout is frozen
+into the pinning JSON (column counts + break points + structural hash) at
+keygen and verified in prover mode (`compile(k, pinning=...)`), mirroring
+the reference's committed config/*.json round-trip (util/circuit.rs:26-52).
+External regions (e.g. the wide SHA-256 engine) contribute their own
+columns/gates/witness via `builder.regions`.
 """
 from __future__ import annotations
 

@@ -89,9 +89,10 @@ def schoolbook_t(spec: L.FieldSpec, a, b):
     n = spec.n_limbs
     parts = []
     for i in range(n):
-        pad = [(0, 0)] * a.ndim
+        prod = a[..., i:i + 1, :] * b      # may broadcast leading dims
+        pad = [(0, 0)] * prod.ndim
         pad[-2] = (i, n + 1 - i)
-        parts.append(jnp.pad(a[..., i:i + 1, :] * b, pad))
+        parts.append(jnp.pad(prod, pad))
     t = parts[0]
     for p in parts[1:]:
         t = t + p

@@ -7,3 +7,4 @@ collectives (all_to_all / all_gather) riding ICI.
 """
 from .ntt_sharded import ntt_sharded, intt_sharded
 from .msm_sharded import msm_sharded
+from .context import set_prover_mesh, prover_mesh

@@ -133,7 +133,8 @@ def _sigma_dev(dom: Domain, map_i: np.ndarray, m: int):
 
 def _sigma_dev_many(dom: Domain, maps: np.ndarray, m: int):
     """(C, n, 2) successor mappings -> (C, NL, n) transposed sigma eval
-    columns in one device call."""
+    columns, column-chunked: one program over all 31 testnet permutation
+    columns at k=18 compiled to 19.5 GB of mont_mul HLO temps."""
     import jax
     import jax.numpy as jnp
     from ..poly import fr_vec as V
@@ -147,8 +148,14 @@ def _sigma_dev_many(dom: Domain, maps: np.ndarray, m: int):
         ov = jnp.moveaxis(jnp.take(omegas, tj, axis=-1), -2, 0)
         return V.ops.mont_mul(dv, ov)
 
-    return f(jnp.asarray(maps[..., 0]), jnp.asarray(maps[..., 1]),
-             deltas, omegas)
+    C = maps.shape[0]
+    step = V.col_chunk(dom.n)
+    outs = []
+    for off in range(0, C, step):
+        blk = maps[off:off + step]
+        outs.append(f(jnp.asarray(blk[..., 0]), jnp.asarray(blk[..., 1]),
+                      deltas, omegas))
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 def _build_permutation(cs: ConstraintSystem, n: int) -> np.ndarray:
@@ -202,15 +209,20 @@ def keygen(cs: ConstraintSystem, k: int, fixed_evals: List[List[int]],
     mapping = _build_permutation(cs, n)
     m = len(cs.permutation_columns)
 
-    import jax.numpy as jnp
+    # commit in column chunks so the eval stack + its plain-form copy never
+    # coexist whole (167 columns at k=18 = 4.2 GB each; the whole-stack
+    # version OOMed the 16 GB chip at keygen)
     ncols = len(fixed_evals)
-    all_cols = []
-    if ncols:
-        all_cols.append(V.upload_ints_many(fixed_evals, n))
-    if m:
-        all_cols.append(_sigma_dev_many(dom, mapping, m))
-    comms = (kzg.commit_lagrange_cols(srs, jnp.concatenate(all_cols))
-             if all_cols else [])
+    step = V.col_chunk(n)
+    comms: List = []
+    for off in range(0, ncols, step):
+        chunk = V.upload_ints_many(fixed_evals[off:off + step], n)
+        comms.extend(kzg.commit_lagrange_cols(srs, chunk))
+        del chunk
+    for off in range(0, m, step):
+        chunk = _sigma_dev_many(dom, mapping[off:off + step], m)
+        comms.extend(kzg.commit_lagrange_cols(srs, chunk))
+        del chunk
     fixed_comms = comms[:ncols]
     sigma_comms = comms[ncols:]
 

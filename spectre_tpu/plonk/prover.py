@@ -12,12 +12,17 @@ and only moves single scalars across the host boundary:
 
   * column ↔ coefficient moves and coset extension: device NTT
     (pallas-fused on TPU, whole-array XLA on the CPU test mesh);
-  * grand products: masked log-depth prefix products + one-inversion
-    batched inverse;
-  * quotient: per-constraint coset evaluation with an LRU of extended
-    column cosets (bounds HBM at big k), folded into the running y-fold;
+  * grand products: ALL permutation chunks + lookups in one batched ratio
+    pass, one batched inversion (1 host sync) and one batched masked
+    prefix-product; halo2's cross-chunk chaining applied as a host-derived
+    per-chunk scale;
+  * quotient: evaluated per interleaved SUB-COSET (f_ext size-n passes —
+    peak HBM / f_ext, Z_H constant per pass); structurally-shared gates
+    vmap through one program per shape, oversized one-off gates run on the
+    tape VM (plonk/tapevm.py) in a single dispatch;
   * openings: log-depth Horner suffix division;
-  * commits: one-call device Pippenger (poly/msm_pippenger.commit_dev).
+  * commits: batched one-call device Pippenger
+    (poly/msm_pippenger.commit_dev_many_t), power-of-two padded.
 
 Lookup permuted pairs (A', S') keep halo2's sorted-pair semantics; the
 sort/matching runs on small host integers (numpy argsort over the raw
@@ -236,7 +241,8 @@ def _eval_expr_interp(expr: Expr, get_col, rot_unit: int):
 _TAPE_CACHE: Dict = {}
 
 
-def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
+def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int,
+                     vm_stack=None, vm_col_pos=None):
     """Fold all gate polys into acc in ONE linear combination:
     result = acc*y^P + sum_i y^(P-1-i) * eval(poly_i). Structurally
     identical exprs evaluate as vmapped groups (10ish programs, a few dozen
@@ -288,15 +294,22 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int):
         n_rows = int(get_col(vm_members[0][1][0]).shape[-1])
         all_refs = sorted({g for (_pos, refs, _p) in vm_members
                            for g in refs})
-        col_index = {g: i for i, g in enumerate(all_refs)}
+        if vm_stack is not None:
+            # reference the caller's existing column stack (the quotient's
+            # per-sub-coset tensor) instead of copying a second stack —
+            # at k=18 the copy alone is multi-GB
+            col_index = {g: vm_col_pos(g) for g in all_refs}
+            stacked = vm_stack
+        else:
+            col_index = {g: i for i, g in enumerate(all_refs)}
+            stacked = jnp.stack([get_col(g) for g in all_refs])
         key = (tuple((p, pos) for (pos, _r, p) in vm_members),
-               rot_unit, n_rows)
+               tuple(sorted(col_index.items())), rot_unit, n_rows)
         tape = _TAPE_CACHE.get(key)
         if tape is None:
             tape = GateTape([(p, pos) for (pos, _r, p) in vm_members],
                             col_index, rot_unit, n_rows)
             _TAPE_CACHE[key] = tape
-        stacked = jnp.stack([get_col(g) for g in all_refs])
         part = tape.run(stacked, y, P)
         total = part if total is None else V._add_fold_jit()(total, part)
     # acc * y^P + total
@@ -642,12 +655,10 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         if col.kind == "fixed":
             dev_cols[col.index] = pk.dev_fixed(col.index)
 
-    # --- 1. advice commits (one batched device MSM over all columns) ---
-    if cs.advice:
-        advice_comms = kzg.commit_lagrange_cols(
-            srs, jnp.stack([dev_cols[col.index] for col in cs.advice]))
-    else:
-        advice_comms = []
+    # --- 1. advice commits (batched device MSM, column-chunked so the
+    # stack copy never coexists whole with the live per-column buffers) ---
+    advice_comms = kzg.commit_lagrange_col_list(
+        srs, [dev_cols[col.index] for col in cs.advice])
     for cm in advice_comms:
         t.write_point(cm)
 
@@ -864,21 +875,32 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     sig_coeffs = [pk.dev_sigma_coeffs(gi) for gi in range(len(perm_cols))]
     for gi in range(len(perm_cols)):
         slot[("sig", gi)] = n_evalg + gi
-    all_coeffs = V.intt_dev_many(jnp.stack(eval_group), k)
-    if sig_coeffs:
-        all_coeffs = jnp.concatenate([all_coeffs, jnp.stack(sig_coeffs)])
 
-    # eval forms are no longer needed anywhere downstream (quotient,
-    # evaluations and multiopen all work from coefficients) — free them
-    # before the memory-peak sub-coset passes.
-    dev_cols_keys = sorted(dev_cols)
+    # free duplicate references to the eval forms FIRST, then transform in
+    # column chunks, nulling each chunk's eval forms as its coefficients
+    # land — bounds the coexistence of eval + coeff forms to one chunk
+    # (at k=18 the whole-stack version peaked >2x the steady state)
     dev_cols.clear()
     pk.drop_eval_forms()
-    pk.drop_sigma_coeffs()
-    del eval_group, z_stack, z_list, z_devs
+    del z_stack, z_list, z_devs
     for ld in lookups_data:
         ld.pop("a", None), ld.pop("s", None)
         ld.pop("ap", None), ld.pop("sp", None), ld.pop("z", None)
+
+    coeff_parts = []
+    _step = V.col_chunk(n)
+    for off in range(0, n_evalg, _step):
+        blk = eval_group[off:off + _step]
+        coeff_parts.append(V.intt_dev_many(jnp.stack(blk), k))
+        for i in range(off, off + len(blk)):
+            eval_group[i] = None
+    if sig_coeffs:
+        coeff_parts.append(jnp.stack(sig_coeffs))
+        sig_coeffs = None
+        pk.drop_sigma_coeffs()
+    all_coeffs = jnp.concatenate(coeff_parts) if len(coeff_parts) > 1 \
+        else coeff_parts[0]
+    del coeff_parts, eval_group
 
     def coeffs_of_key(key):
         return all_coeffs[slot[key]]
@@ -904,9 +926,12 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
 
         acc = jnp.zeros((NL, n), jnp.int32)
 
-        # gate constraints (vmapped by structural group + tape VM)
+        # gate constraints (vmapped by structural group + tape VM reading
+        # straight from the sub-coset stack)
         _gate_polys = [p for g in cs.gates for p in g.polys]
-        acc = _fold_gate_polys(acc, _gate_polys, get_col, y, 1)
+        acc = _fold_gate_polys(
+            acc, _gate_polys, get_col, y, 1, vm_stack=sub_all,
+            vm_col_pos=lambda g: slot[("col", g)])
 
         # permutation constraints
         if chunks:

@@ -93,19 +93,34 @@ def upload_ints(values: List[int], n: int | None = None):
     return _up_bytes_jit(n)(jnp.asarray(arr))
 
 
+def col_chunk(n: int, bytes_per_row: int = 400, cap: int = 1 << 28) -> int:
+    """How many columns one whole-stack program may touch: the Montgomery
+    conversion/REDC temps cost ~400 B/row/column in HLO, and the k=18
+    512-key keygen showed a single 57-column from_mont compiling to 18.8 GB
+    of HBM temps. Power of two so few program shapes exist."""
+    w = max(1, min(64, cap // max(n * bytes_per_row, 1)))
+    return 1 << (w.bit_length() - 1)
+
+
 def upload_ints_many(columns, n: int):
-    """List of C int-lists -> (C, NL, n) device Montgomery limbs in ONE
-    transfer + ONE program (C padded to a power of two)."""
+    """List of C int-lists -> (C, NL, n) device Montgomery limbs in a few
+    transfers (column-chunked at big n; chunks padded to a power of two)."""
     C = len(columns)
-    width = 1 << max(0, (C - 1).bit_length())
-    arr = np.zeros((width, n, 34), np.uint8)
-    for i, values in enumerate(columns):
-        m = len(values)
-        if m:
-            buf = b"".join(int(v).to_bytes(34, "little") for v in values)
-            arr[i, :m] = np.frombuffer(buf, np.uint8).reshape(m, 34)
-    out = _up_bytes_jit((width, n))(jnp.asarray(arr))
-    return out[:C] if C < width else out
+    step = col_chunk(n)
+    outs = []
+    for off in range(0, C, step):
+        blk = columns[off:off + step]
+        width = 1 << max(0, (len(blk) - 1).bit_length())
+        arr = np.zeros((width, n, 34), np.uint8)
+        for i, values in enumerate(blk):
+            m = len(values)
+            if m:
+                buf = b"".join(int(v).to_bytes(34, "little")
+                               for v in values)
+                arr[i, :m] = np.frombuffer(buf, np.uint8).reshape(m, 34)
+        out = _up_bytes_jit((width, n))(jnp.asarray(arr))
+        outs.append(out[:len(blk)] if len(blk) < width else out)
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 def download_ints(a) -> List[int]:
@@ -551,9 +566,28 @@ def _use_ntt4(k: int) -> bool:
             and os.environ.get("SPECTRE_NTT4", "1") != "0")
 
 
+def _mesh_ntt(a, k: int, inverse: bool):
+    """Route a single-column transform through the ICI-sharded four-step
+    NTT when a prover mesh is installed (parallel/context). The sharded
+    kernel is row-major (AoS); boundary transposes bridge the layouts —
+    the one all_to_all dominates at sharding-worthy sizes."""
+    from ..parallel import context as _pctx
+    mesh = _pctx.prover_mesh()
+    if mesh is None or k < _pctx.SHARD_NTT_MIN_K or a.ndim != 2:
+        return None
+    if (1 << k) % mesh.devices.size:
+        return None
+    from ..parallel import intt_sharded, ntt_sharded
+    fn = intt_sharded if inverse else ntt_sharded
+    return jnp.swapaxes(fn(jnp.swapaxes(a, -1, -2), k, mesh), -1, -2)
+
+
 def ntt_dev(a, k: int):
     """Forward NTT of (NL, 2^k) Montgomery limbs (canonical output)."""
     from . import ntt_fast
+    routed = _mesh_ntt(a, k, inverse=False)
+    if routed is not None:
+        return routed
     if _use_ntt4(k):
         from .ntt4 import ntt_t4
         return ntt_t4(a, k)
@@ -564,6 +598,9 @@ def ntt_dev(a, k: int):
 
 def intt_dev(a, k: int):
     from . import ntt_fast
+    routed = _mesh_ntt(a, k, inverse=True)
+    if routed is not None:
+        return routed
     if _use_ntt4(k):
         from .ntt4 import intt_t4
         return intt_t4(a, k)
@@ -640,19 +677,26 @@ def _pad_mul_many_jit(n: int, n_ext: int):
 
 def coset_ntt_many(coeffs_cols, ext_k: int, shift: int):
     """(C, NL, n) coefficient columns -> (C, NL, n_ext) coset evals.
-    C is padded to a power of two to bound distinct program shapes."""
+    Column-chunked (the shift multiply's REDC temps cost ~400 B/row/col in
+    HLO; one whole-stack pass OOMs the compile at k=18 x 200 columns);
+    chunks padded to a power of two to bound program shapes."""
     coeffs_cols = jnp.asarray(coeffs_cols)
     C, n = coeffs_cols.shape[0], coeffs_cols.shape[-1]
     n_ext = 1 << ext_k
-    width = 1 << max(0, (C - 1).bit_length())
-    if C < width:
-        coeffs_cols = jnp.concatenate(
-            [coeffs_cols,
-             jnp.zeros((width - C, NL, n), jnp.int32)])
     sp = _shift_pows(n, shift)
-    padded = _pad_mul_many_jit(n, n_ext)(coeffs_cols, sp)
-    out = ntt_dev_many(padded, ext_k)
-    return out[:C] if C < width else out
+    step = col_chunk(max(n_ext, n))
+    outs = []
+    for off in range(0, C, step):
+        blk = coeffs_cols[off:off + step]
+        take = blk.shape[0]
+        width = 1 << max(0, (take - 1).bit_length())
+        if take < width:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((width - take, NL, n), jnp.int32)])
+        padded = _pad_mul_many_jit(n, n_ext)(blk, sp)
+        out = ntt_dev_many(padded, ext_k)
+        outs.append(out[:take] if take < width else out)
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 @functools.lru_cache(maxsize=None)

@@ -347,10 +347,44 @@ def commit_lagrange_col(srs: SrsKZG, col_mont_t):
     return commit_lagrange_cols(srs, col_mont_t[None])[0]
 
 
+def _from_mont_chunked(cols_mont_t):
+    """Column-chunked Montgomery->plain conversion: one whole-stack
+    from_mont over 50+ columns at k=18 compiles to multi-GB HLO temps
+    (the 512-key keygen OOM)."""
+    import jax.numpy as jnp
+    from ..fields.limb_t import make_ops_t
+    from .fr_vec import col_chunk
+    ops = make_ops_t("bn254_fr")
+    C, n = cols_mont_t.shape[0], cols_mont_t.shape[-1]
+    step = col_chunk(n)
+    if C <= step:
+        return ops.from_mont(cols_mont_t)
+    outs = [ops.from_mont(cols_mont_t[i:i + step])
+            for i in range(0, C, step)]
+    return jnp.concatenate(outs)
+
+
+def commit_lagrange_col_list(srs: SrsKZG, cols):
+    """Commit a LIST of (NL, n) device columns in col_chunk-sized groups —
+    never materializes the whole (C, NL, n) stack. At k=18 the 141-column
+    advice stack is 3.5 GB and its plain-form copy another 3.5 GB on top of
+    the live per-column buffers; the whole-stack version OOMed the chip."""
+    if not cols:
+        return []
+    import jax.numpy as jnp
+    from .fr_vec import col_chunk
+    n = cols[0].shape[-1]
+    step = col_chunk(n)
+    out = []
+    for off in range(0, len(cols), step):
+        out.extend(commit_lagrange_cols(
+            srs, jnp.stack(cols[off:off + step])))
+    return out
+
+
 def commit_lagrange_cols(srs: SrsKZG, cols_mont_t):
     """Batched commit of C transposed Montgomery eval columns (C, NL, n) ->
     list of C points. At most a handful of device calls total."""
-    from ..fields.limb_t import make_ops_t
     C, n = cols_mont_t.shape[0], cols_mont_t.shape[-1]
     if n < DEVICE_MSM_MIN:
         vals = _download_cols_t(cols_mont_t)
@@ -358,12 +392,11 @@ def commit_lagrange_cols(srs: SrsKZG, cols_mont_t):
                 for i in range(C)]
     from .msm_pippenger import commit_dev_many_t
     enc = tuple(c[:, :n] for c in _lag_enc_dev_t(srs, n))
-    return commit_dev_many_t(enc, make_ops_t("bn254_fr").from_mont(cols_mont_t))
+    return commit_dev_many_t(enc, _from_mont_chunked(cols_mont_t))
 
 
 def commit_coeff_cols(srs: SrsKZG, cols_mont_t):
     """Batched commit of C transposed Montgomery coefficient columns."""
-    from ..fields.limb_t import make_ops_t
     C, n = cols_mont_t.shape[0], cols_mont_t.shape[-1]
     if n < DEVICE_MSM_MIN:
         vals = _download_cols_t(cols_mont_t)
@@ -371,7 +404,7 @@ def commit_coeff_cols(srs: SrsKZG, cols_mont_t):
                 for i in range(C)]
     from .msm_pippenger import commit_dev_many_t
     enc = tuple(c[:, :n] for c in _coeff_enc_dev_t(srs, n))
-    return commit_dev_many_t(enc, make_ops_t("bn254_fr").from_mont(cols_mont_t))
+    return commit_dev_many_t(enc, _from_mont_chunked(cols_mont_t))
 
 
 def commit_coeff_col(srs: SrsKZG, coeffs_mont_t):

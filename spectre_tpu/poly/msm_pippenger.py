@@ -490,6 +490,35 @@ def _commit_t_jit(curve_name: str):
 _T_SLICE_N = 1 << 16
 
 
+def _commit_sharded(points_enc_t, S, curve: str, mesh):
+    """Mesh-sharded batched commit (chunk width as the local path, minus
+    the slice cap: the per-device slice is N/D)."""
+    cops = CURVES[curve][0]
+    Xt, Yt, Zt = points_enc_t
+    C = S.shape[0]
+    N = Xt.shape[1]
+    D = mesh.devices.size
+    key = id(mesh)
+    _SHARD_MESHES[key] = mesh
+    fn = _commit_t_many_sharded_jit(curve, key)
+    local_n = N // D
+    width = max(1, min(_CHUNK, (1 << 28) // max(local_n * 320, 1)))
+    width = 1 << (width.bit_length() - 1)
+    outs = []
+    with L.compact_redc():
+        for i in range(0, C, width):
+            blk = S[i:i + width]
+            take = blk.shape[0]
+            w = 1 << max(0, (take - 1).bit_length())
+            if take < w:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((w - take,) + blk.shape[1:], blk.dtype)])
+            out = fn(Xt, Yt, Zt, blk)
+            outs.append(tuple(np.asarray(c)[:take, :, 0] for c in out))
+    coords = tuple(np.concatenate([o[j] for o in outs]) for j in range(3))
+    return cops.decode_points(coords)
+
+
 def commit_dev_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
     """Transposed-layout device MSM: (NL, N) coords + (24, N) digits ->
     affine host point | None."""
@@ -519,16 +548,75 @@ def _commit_t_many_jit(curve_name: str):
                             in_axes=(None, None, None, 0)))
 
 
+_SHARD_MESHES = {}
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_t_many_sharded_jit(curve_name: str, mesh_key: int):
+    """Point-sharded batched transposed commit: each device scans its local
+    slice of the base, ONE all_gather + replicated tree reduce combines the
+    D partials (SURVEY §2c intra-proof parallelism; wired into the prover
+    via parallel/context — VERDICT r2 weak #5)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+    from ..curves.limbjax import bn254_g1_ops_t, bls_g1_ops_t
+    mesh = _SHARD_MESHES[mesh_key]
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    cops = {"bn254_g1": bn254_g1_ops_t,
+            "bls12_381_g1": bls_g1_ops_t}[curve_name]
+    inner = jax.vmap(_commit_core_t(curve_name),
+                     in_axes=(None, None, None, 0))
+
+    def local(Xt, Yt, Zt, S):
+        px, py, pz = inner(Xt, Yt, Zt, S)      # (C, NL, 1) local partials
+        # gather and fold the C axis onto lanes: (D, NL, C) — the field
+        # kernels support <=3-D operands
+        g = [jnp.transpose(jax.lax.all_gather(c, axis)[..., 0], (0, 2, 1))
+             for c in (px, py, pz)]
+        P = tuple(g)
+        n = D
+        while n > 1:
+            half = n // 2
+            lo = tuple(c[:half] for c in P)
+            hi = tuple(c[half:2 * half] for c in P)
+            s = cops.padd_graph(lo, hi)
+            if n % 2:
+                s = tuple(jnp.concatenate([a, c[n - 1:n]])
+                          for a, c in zip(s, P))
+            P = s
+            n = half + (n % 2)
+        # back to (C, NL, 1)
+        return tuple(jnp.transpose(c[0], (1, 0))[:, :, None] for c in P)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(Pspec(None, axis), Pspec(None, axis), Pspec(None, axis),
+                  Pspec(None, None, axis)),
+        out_specs=(Pspec(), Pspec(), Pspec()),
+        check_rep=False)
+    return jax.jit(fn)
+
+
 def commit_dev_many_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
     """Batched transposed commits: (NL, N) bases + (C, 24, N) digits ->
     list of C affine points. Chunk width scales with the (unpadded!)
-    96 B/row footprint — ~5x wider batches than the AoS kernel."""
+    96 B/row footprint — ~5x wider batches than the AoS kernel.
+
+    When a prover mesh is installed (parallel/context.set_prover_mesh) the
+    point axis shards over the mesh and each commit uses every device."""
     cops = CURVES[curve][0]
     hcurve = CURVES[curve][1]
     Xt, Yt, Zt = points_enc_t
     S = jnp.asarray(scalars_plain_t)
     C = S.shape[0]
     N = Xt.shape[1]
+    from ..parallel import context as _pctx
+    mesh = _pctx.prover_mesh()
+    if mesh is not None:
+        D = mesh.devices.size
+        if N % D == 0 and N // D >= _pctx.SHARD_MSM_MIN_LOCAL:
+            return _commit_sharded(points_enc_t, S, curve, mesh)
     if N > _T_SLICE_N:
         totals = [None] * C
         for i in range(0, N, _T_SLICE_N):

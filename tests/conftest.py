@@ -29,6 +29,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: most suite wall-clock is XLA CPU
+# compiles of the same prover/kernel programs; the cache makes re-runs
+# compile-free (safe under xdist — entries are written atomically).
+from spectre_tpu.jax_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 # Smaller traced graphs (scan-based Montgomery REDC) compile ~4x faster on
 # CPU; runtime loss is irrelevant at test sizes. TPU bench paths keep the
 # unrolled default.
