@@ -645,6 +645,8 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     # --- device columns (advice+instance in one batched upload) ---
     dev_cols: Dict[int, object] = {}
     _up_gidx = [c.index for c in cs.columns if c.kind != "fixed"]
+    if _TRACE:
+        tm("  p1: host witness pad+blind")
     if _up_gidx:
         _up = V.unstack(V.upload_ints_many(
             [host_cols[g] for g in _up_gidx], n))
@@ -654,11 +656,17 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     for col in cs.columns:
         if col.kind == "fixed":
             dev_cols[col.index] = pk.dev_fixed(col.index)
+    if _TRACE:
+        import jax as _jax
+        _jax.block_until_ready([dev_cols[g] for g in _up_gidx[:1]])
+        tm("  p1: upload advice+fixed")
 
     # --- 1. advice commits (batched device MSM, column-chunked so the
     # stack copy never coexists whole with the live per-column buffers) ---
     advice_comms = kzg.commit_lagrange_col_list(
         srs, [dev_cols[col.index] for col in cs.advice])
+    if _TRACE:
+        tm("  p1: commit advice")
     for cm in advice_comms:
         t.write_point(cm)
 

@@ -167,9 +167,14 @@ def _branch(nodes: Dict[int, bytes], gindex: int) -> List[bytes]:
 
 
 def generate_spec_test_fixture(out_dir: str, spec: Spec = MINIMAL,
-                               seed: bytes = b"spectre-tpu-spec-test"):
+                               seed: bytes = b"spectre-tpu-spec-test",
+                               participation: List[bool] | None = None):
     """Write a pyspec-layout light-client sync fixture with real BLS
-    signatures and internally-consistent merkle proofs."""
+    signatures and internally-consistent merkle proofs.
+
+    participation: per-validator sync-aggregate bits (default all True) —
+    the signature aggregates only participating keys, matching the
+    pyspec scenarios the reference sweeps (varying supermajorities)."""
     from .curves import host as CH
     from .curves.hash_to_curve import hash_to_g2
     from .curves.host import bls_g2_host, g2_compress, g1_compress
@@ -230,12 +235,17 @@ def generate_spec_test_fixture(out_dir: str, spec: Spec = MINIMAL,
     finality_branch = _branch(state_nodes, fin_gi)
     nsc_branch = _branch(state_nodes, nsc_gi)
 
-    # real aggregate signature over the attested header
+    # real aggregate signature over the attested header (participating
+    # keys only)
+    if participation is None:
+        participation = [True] * n
+    assert len(participation) == n and any(participation)
     signing_root = compute_signing_root(attested.hash_tree_root(), domain)
     msg = hash_to_g2(signing_root, spec.dst)
     agg_sig = None
-    for sk in sks:
-        agg_sig = bls_g2_host.add(agg_sig, bls_g2_host.mul(msg, sk))
+    for sk, bit in zip(sks, participation):
+        if bit:
+            agg_sig = bls_g2_host.add(agg_sig, bls_g2_host.mul(msg, sk))
     signature = g2_compress(agg_sig)
 
     bootstrap_header = LightClientHeader(
@@ -256,7 +266,7 @@ def generate_spec_test_fixture(out_dir: str, spec: Spec = MINIMAL,
             execution_branch=execution_branch),
         finality_branch=finality_branch,
         sync_aggregate=SyncAggregate(
-            sync_committee_bits=[True] * n,
+            sync_committee_bits=list(participation),
             sync_committee_signature=signature),
         signature_slot=int(attested.slot) + 1)
 

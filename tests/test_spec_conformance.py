@@ -19,10 +19,29 @@ from spectre_tpu.witness.step import sync_step_instances
 from spectre_tpu.witness.rotation import committee_update_instances
 
 
-@pytest.fixture(scope="module")
-def fixture_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("pyspec") / "light_client_sync"
-    return generate_spec_test_fixture(str(d), MINIMAL)
+# scenario sweep — the step.rs rstest #[files] analog: the reference
+# parameterizes over dozens of pyspec cases; with no network access the
+# cases are generated (unit_test_gen.rs role) across the participation /
+# key-material space the pyspec suite varies
+N = MINIMAL.sync_committee_size
+SCENARIOS = {
+    "full": dict(seed=b"spectre-tpu-spec-test", participation=None),
+    "supermajority": dict(seed=b"case-supermajority",
+                          participation=[i % 3 != 2 for i in range(N)]),
+    "two_thirds_exact": dict(
+        seed=b"case-two-thirds",
+        participation=[i < (2 * N + 2) // 3 for i in range(N)]),
+    "single_absent": dict(seed=b"case-one-out",
+                          participation=[i != 7 for i in range(N)]),
+    "alt_keys": dict(seed=b"case-alt-keys-xyz", participation=None),
+}
+
+
+@pytest.fixture(scope="module", params=sorted(SCENARIOS))
+def fixture_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pyspec") / request.param
+    return generate_spec_test_fixture(str(d), MINIMAL,
+                                      **SCENARIOS[request.param])
 
 
 def test_snappy_roundtrip():
