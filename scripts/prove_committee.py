@@ -39,6 +39,9 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    from spectre_tpu.jax_cache import enable as _enable_cache
+    _enable_cache()
+
     import random
     from spectre_tpu.specs import Spec, MINIMAL
     from spectre_tpu import ssz

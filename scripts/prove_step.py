@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""End-to-end StepCircuit REAL prove (BASELINE config #4 driver).
+
+Usage: python scripts/prove_step.py [--spec nano|minimal] [--k K]
+       [--platform cpu|tpu] [--repeat N]
+
+Builds the sync-step circuit from a default witness (ChaCha-style seeded
+BLS keys, real aggregate signature — witness/step.rs:53-137 analog),
+compiles, keygens, proves on the default device, verifies, and prints one
+JSON summary line. The k=0 default derives the smallest k that fits
+(sync_step_circuit.rs:420-427 calculate_params analog).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spec", default="nano", choices=["nano", "minimal"])
+    ap.add_argument("--k", type=int, default=0,
+                    help="0 = search upward from the spec's pinned k")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    if args.trace:
+        os.environ["SPECTRE_TRACE"] = "1"
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from spectre_tpu.jax_cache import enable as _enable_cache
+    _enable_cache()
+    from spectre_tpu.specs import Spec, MINIMAL
+    from spectre_tpu.witness.step import (default_sync_step_args,
+                                          sync_step_instances)
+    from spectre_tpu.circuits.sync_step import StepCircuit
+    from spectre_tpu.plonk.keygen import keygen
+    from spectre_tpu.plonk.prover import create_proof
+    from spectre_tpu.plonk.verifier import verify_proof
+    from spectre_tpu.poly import kzg
+
+    t_start = time.time()
+
+    def log(m):
+        print(f"[{time.time()-t_start:7.1f}s] {m}", flush=True)
+
+    spec = (Spec(name="nano", sync_committee_size=4)
+            if args.spec == "nano" else MINIMAL)
+    witness = default_sync_step_args(spec)
+
+    log(f"building circuit ({spec.name}, {spec.sync_committee_size} keys)")
+    builder = StepCircuit.build(witness, spec)
+    log(f"built: {len(builder.main().cells)} cells")
+    assert builder.instances() == sync_step_instances(witness), \
+        "instance parity"
+
+    k = args.k or {"nano": 15, "minimal": 16}[args.spec]
+    while True:
+        try:
+            cs, fixed, advice, instances = builder.compile(k)
+            break
+        except AssertionError:
+            k += 1
+    log(f"compiled k={k}: advice={len(cs.advice)} fixed={len(cs.fixed)} "
+        f"lookups={len(cs.lookups)} copies={len(cs.copies)}")
+
+    t0 = time.time()
+    srs = kzg.cached_srs(k)
+    log(f"srs ready ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    pk = keygen(cs, k, fixed, srs)
+    t_kg = time.time() - t0
+    log(f"keygen done ({t_kg:.1f}s)")
+
+    t_proves = []
+    for it in range(max(1, args.repeat)):
+        t0 = time.time()
+        proof = create_proof(pk, srs, advice, instances)
+        t_proves.append(time.time() - t0)
+        log(f"prove[{it}] done ({t_proves[-1]:.1f}s, "
+            f"{len(proof.data)} bytes)")
+
+    t0 = time.time()
+    ok = verify_proof(pk.vk, srs, proof, instances)
+    t_ver = time.time() - t0
+    log(f"verify: {ok} ({t_ver:.1f}s)")
+
+    print(json.dumps({
+        "circuit": "sync-step", "spec": spec.name, "k": k,
+        "cells": len(builder.main().cells),
+        "n_advice": len(cs.advice),
+        "proof_bytes": len(proof.data),
+        "keygen_s": round(t_kg, 1),
+        "prove_s": round(t_proves[-1], 1),
+        "prove_s_all": [round(x, 1) for x in t_proves],
+        "verify_s": round(t_ver, 1),
+        "verified": bool(ok),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
