@@ -131,10 +131,10 @@ def main():
         cs_i, fixed_i, advice_i, inst_i = b.compile(args.inner_k)
         srs_i = kzg.test_srs(args.inner_k)
         pk_i = keygen(cs_i, args.inner_k, fixed_i, srs_i)
-    inner_proof = create_proof(pk_i, srs_i, advice_i, inst_i,
-                               transcript="poseidon")
-    assert verify_proof(pk_i.vk, srs_i, inner_proof, inst_i,
-                        transcript="poseidon")
+        inner_proof = create_proof(pk_i, srs_i, advice_i, inst_i,
+                                   transcript="poseidon")
+        assert verify_proof(pk_i.vk, srs_i, inner_proof, inst_i,
+                            transcript="poseidon")
     log(f"inner snark: k={args.inner_k}, {len(inner_proof.data)} bytes")
 
     # ---- aggregation circuit ----

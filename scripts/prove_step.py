@@ -75,10 +75,22 @@ def main():
     srs = kzg.cached_srs(k)
     log(f"srs ready ({time.time()-t0:.1f}s)")
 
+    import pickle
+    pk_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "build", f"step_{spec.name}_k{k}_pk.pkl")
     t0 = time.time()
-    pk = keygen(cs, k, fixed, srs)
-    t_kg = time.time() - t0
-    log(f"keygen done ({t_kg:.1f}s)")
+    if os.path.exists(pk_path):
+        with open(pk_path, "rb") as f:
+            pk = pickle.load(f)
+        t_kg = time.time() - t0
+        log(f"pk loaded from cache ({t_kg:.1f}s)")
+    else:
+        pk = keygen(cs, k, fixed, srs)
+        t_kg = time.time() - t0
+        with open(pk_path, "wb") as f:
+            pickle.dump(pk, f)
+        log(f"keygen done ({t_kg:.1f}s)")
 
     t_proves = []
     for it in range(max(1, args.repeat)):

@@ -209,20 +209,21 @@ def keygen(cs: ConstraintSystem, k: int, fixed_evals: List[List[int]],
     mapping = _build_permutation(cs, n)
     m = len(cs.permutation_columns)
 
-    # commit in column chunks so the eval stack + its plain-form copy never
-    # coexist whole (167 columns at k=18 = 4.2 GB each; the whole-stack
-    # version OOMed the 16 GB chip at keygen)
+    # build device eval columns in compile-safe chunks (whole-stack
+    # upload/sigma programs OOMed the 16 GB chip at k=18: mont REDC temps
+    # are ~1.3 KB/row/col in HLO), then commit through the buffer-width
+    # batched MSM path
     ncols = len(fixed_evals)
     step = V.col_chunk(n)
-    comms: List = []
+    dev_eval_cols: List = []
     for off in range(0, ncols, step):
-        chunk = V.upload_ints_many(fixed_evals[off:off + step], n)
-        comms.extend(kzg.commit_lagrange_cols(srs, chunk))
-        del chunk
+        dev_eval_cols.extend(V.unstack(
+            V.upload_ints_many(fixed_evals[off:off + step], n)))
     for off in range(0, m, step):
-        chunk = _sigma_dev_many(dom, mapping[off:off + step], m)
-        comms.extend(kzg.commit_lagrange_cols(srs, chunk))
-        del chunk
+        dev_eval_cols.extend(V.unstack(
+            _sigma_dev_many(dom, mapping[off:off + step], m)))
+    comms = kzg.commit_lagrange_col_list(srs, dev_eval_cols)
+    del dev_eval_cols
     fixed_comms = comms[:ncols]
     sigma_comms = comms[ncols:]
 

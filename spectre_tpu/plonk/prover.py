@@ -895,23 +895,33 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         ld.pop("a", None), ld.pop("s", None)
         ld.pop("ap", None), ld.pop("sp", None), ld.pop("z", None)
 
+    # the stack is stored as int16: NTT outputs are CANONICAL 11-bit limbs
+    # (max 2047), so int16 is lossless and halves at-rest HBM — at testnet
+    # k=18 the ~370-column int32 stack alone is 9.2 GB and the quotient
+    # needs a same-size sub-coset stack next to it (16 GB chip)
     coeff_parts = []
     _step = V.col_chunk(n)
     for off in range(0, n_evalg, _step):
         blk = eval_group[off:off + _step]
-        coeff_parts.append(V.intt_dev_many(jnp.stack(blk), k))
+        coeff_parts.append(
+            V.intt_dev_many(jnp.stack(blk), k).astype(jnp.int16))
         for i in range(off, off + len(blk)):
             eval_group[i] = None
     if sig_coeffs:
-        coeff_parts.append(jnp.stack(sig_coeffs))
+        coeff_parts.append(jnp.stack(sig_coeffs).astype(jnp.int16))
         sig_coeffs = None
         pk.drop_sigma_coeffs()
     all_coeffs = jnp.concatenate(coeff_parts) if len(coeff_parts) > 1 \
         else coeff_parts[0]
     del coeff_parts, eval_group
 
+    _cf_cache: Dict = {}
+
     def coeffs_of_key(key):
-        return all_coeffs[slot[key]]
+        # memoized: a column queried at several rotations slices once
+        if key not in _cf_cache:
+            _cf_cache[key] = all_coeffs[slot[key]]
+        return _cf_cache[key]
 
     def coeffs_of(gidx: int):
         return coeffs_of_key(("col", gidx))
@@ -921,15 +931,20 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     h_subs = []
     for j in range(f_ext):
         shift_j = COSET_SHIFT * pow(w_ext, j, FR) % FR
-        sub_all = V.coset_ntt_many(all_coeffs, k, shift_j)
+        sub_all = V.coset_ntt_many(all_coeffs, k, shift_j,
+                                   out_dtype=jnp.int16)
         sub_cols = V.unstack(sub_all)
 
         def get_col(gidx, _sc=sub_cols):
-            return _sc[slot[("col", gidx)]]
+            # int16 at rest -> int32 transient per consumer
+            return _sc[slot[("col", gidx)]].astype(jnp.int32)
 
-        l0 = sub_cols[slot[("l0",)]]
-        llast = sub_cols[slot[("llast",)]]
-        lblind = sub_cols[slot[("lblind",)]]
+        def sc(key, _sc=sub_cols):
+            return _sc[slot[key]].astype(jnp.int32)
+
+        l0 = sc(("l0",))
+        llast = sc(("llast",))
+        lblind = sc(("lblind",))
         lactive = _lactive_jit()(llast, lblind)
 
         acc = jnp.zeros((NL, n), jnp.int32)
@@ -943,7 +958,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
 
         # permutation constraints
         if chunks:
-            z_sub = [sub_cols[slot[("z", c)]] for c in range(len(chunks))]
+            z_sub = [sc(("z", c)) for c in range(len(chunks))]
             one_m = jnp.asarray(spec.one_mont, jnp.int32)[:, None]
             # l0 * (1 - Z_0)
             acc = _fold_jit()(acc, y_m, ops.mont_mul(
@@ -963,7 +978,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                 base = c_idx * chunk_len
                 m = len(chunk)
                 cols = jnp.stack([get_col(g) for g in chunk])
-                sigs = jnp.stack([sub_cols[slot[("sig", base + off)]]
+                sigs = jnp.stack([sc(("sig", base + off))
                                   for off in range(m)])
                 deltas = jnp.asarray(np.stack([
                     spec.encode(pow(DELTA, base + off, FR))[:, None]
@@ -985,8 +1000,8 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             a_sub = compress_sub(lk.inputs)
             s_sub = compress_sub(lk.tables)
             acc = _lookup_rules_jit(1)(
-                acc, y_m, sub_cols[slot[("lz", li)]], a_sub, s_sub,
-                sub_cols[slot[("la", li)]], sub_cols[slot[("ls", li)]],
+                acc, y_m, sc(("lz", li)), a_sub, s_sub,
+                sc(("la", li)), sc(("ls", li)),
                 l0, llast, lactive, beta_m, gamma_m)
 
         # divide by Z_H (constant on this sub-coset)

@@ -177,6 +177,9 @@ def _vm_jit(C: int, T: int, K: int, n: int):
             def f_loadcol(_):
                 col = jax.lax.dynamic_index_in_dim(cols, a, axis=0,
                                                    keepdims=False)
+                if col.dtype != jnp.int32:
+                    # the quotient stores sub-coset stacks int16 at rest
+                    col = col.astype(jnp.int32)
                 dbl = jnp.concatenate([col, col], axis=-1)
                 return jax.lax.dynamic_slice(dbl, (0, aux), (NL, n))
 

@@ -257,7 +257,8 @@ def weighted_sum_cols(cols, weights):
         if chunk & (chunk - 1) else chunk
     acc = None
     for off in range(0, P, chunk):
-        blk = list(cols[off:off + chunk])
+        blk = [c if c.dtype == jnp.int32 else c.astype(jnp.int32)
+               for c in cols[off:off + chunk]]
         w = [spec.encode(x)[:, None] for x in weights[off:off + len(blk)]]
         # pad to a power of two with zero weights: few program shapes
         width = 1 << max(0, (len(blk) - 1).bit_length())
@@ -371,7 +372,8 @@ def eval_polys_at(coeff_list, x: int) -> List[int]:
     n = coeff_list[0].shape[-1]
     m = len(coeff_list)
     width = 1 << max(0, (m - 1).bit_length())
-    stacked = jnp.stack(coeff_list)
+    stacked = jnp.stack([c if c.dtype == jnp.int32
+                         else c.astype(jnp.int32) for c in coeff_list])
     if m < width:
         stacked = jnp.concatenate(
             [stacked, jnp.zeros((width - m, NL, n), jnp.int32)])
@@ -675,11 +677,15 @@ def _pad_mul_many_jit(n: int, n_ext: int):
     return f
 
 
-def coset_ntt_many(coeffs_cols, ext_k: int, shift: int):
+def coset_ntt_many(coeffs_cols, ext_k: int, shift: int, out_dtype=None):
     """(C, NL, n) coefficient columns -> (C, NL, n_ext) coset evals.
     Column-chunked (the shift multiply's REDC temps cost ~400 B/row/col in
     HLO; one whole-stack pass OOMs the compile at k=18 x 200 columns);
-    chunks padded to a power of two to bound program shapes."""
+    chunks padded to a power of two to bound program shapes.
+
+    Accepts int16 input (canonical 11-bit limbs at rest — the quotient's
+    big-k storage format); out_dtype=jnp.int16 stores the result compactly
+    too (outputs are canonical, max 2047)."""
     coeffs_cols = jnp.asarray(coeffs_cols)
     C, n = coeffs_cols.shape[0], coeffs_cols.shape[-1]
     n_ext = 1 << ext_k
@@ -688,6 +694,8 @@ def coset_ntt_many(coeffs_cols, ext_k: int, shift: int):
     outs = []
     for off in range(0, C, step):
         blk = coeffs_cols[off:off + step]
+        if blk.dtype != jnp.int32:
+            blk = blk.astype(jnp.int32)
         take = blk.shape[0]
         width = 1 << max(0, (take - 1).bit_length())
         if take < width:
@@ -695,7 +703,11 @@ def coset_ntt_many(coeffs_cols, ext_k: int, shift: int):
                 [blk, jnp.zeros((width - take, NL, n), jnp.int32)])
         padded = _pad_mul_many_jit(n, n_ext)(blk, sp)
         out = ntt_dev_many(padded, ext_k)
-        outs.append(out[:take] if take < width else out)
+        if take < width:
+            out = out[:take]
+        if out_dtype is not None and out.dtype != out_dtype:
+            out = out.astype(out_dtype)
+        outs.append(out)
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 

@@ -374,7 +374,11 @@ def commit_lagrange_col_list(srs: SrsKZG, cols):
     import jax.numpy as jnp
     from .fr_vec import col_chunk
     n = cols[0].shape[-1]
-    step = col_chunk(n)
+    # the commit path's own compile-temp hazards (from_mont REDC) are
+    # sub-chunked inside commit_lagrange_cols; the outer width is bounded
+    # only by BUFFER size (mont stack + plain copy ~192 B/row/col), so it
+    # can be much wider than col_chunk — fewer, better-batched MSM calls
+    step = max(col_chunk(n), min(32, (1 << 31) // max(n * 192, 1)))
     out = []
     for off in range(0, len(cols), step):
         out.extend(commit_lagrange_cols(
