@@ -1,6 +1,6 @@
 # spectre-tpu automation (the reference justfile analog)
 
-.PHONY: test test-fast bench fixtures lint
+.PHONY: test test-fast test-heavy bench fixtures lint
 
 test:
 	python -m pytest tests/ -q
@@ -8,6 +8,10 @@ test:
 # skip the slow whole-circuit mocks (committee update, k>=16 sponges)
 test-fast:
 	python -m pytest tests/ -q --deselect tests/test_committee_update_circuit.py::test_circuit_mock_verifies
+
+# nightly tier: minute-plus tests (heavy) + multi-million-cell mocks (slow)
+test-heavy:
+	python -m pytest tests/ -q -m "heavy or slow"
 
 bench:
 	python bench.py

@@ -152,6 +152,15 @@ class HostPool:
         self._next_id = 0
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = platform
+        if platform == "cpu":
+            # The axon sitecustomize (on PYTHONPATH) force-registers the
+            # tunnel TPU and overrides jax_platforms programmatically —
+            # JAX_PLATFORMS=cpu alone does NOT keep workers off the single
+            # real chip (they'd all contend through the tunnel; the
+            # sched_scaling --hosts timeout). Scrub it like tests/conftest.
+            env["PYTHONPATH"] = os.pathsep.join(
+                p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                if p and ".axon_site" not in p)
         repo = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
         for i in range(n_hosts):

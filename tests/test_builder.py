@@ -48,6 +48,7 @@ def test_gate_ops_values():
     assert [v.value for v in bits] == [1, 1, 0, 1]
 
 
+@pytest.mark.heavy
 def test_builder_mock_and_prove():
     b = CircuitBuilder()
     ctx = b.main()

@@ -1,3 +1,4 @@
+import pytest
 """Fp12 chip vs the host Tower oracle (curves/pairing.py)."""
 import random
 
@@ -78,6 +79,7 @@ def test_fp12_mul_inv_frobenius_mock():
     assert _mock(b).verify() == []
 
 
+@pytest.mark.heavy
 def test_fp12_exp_by_neg_x():
     """Unitary element: exp_by_neg_x matches host pow by -x (mod inverse)."""
     rng = random.Random(12)

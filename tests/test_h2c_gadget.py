@@ -55,6 +55,7 @@ def test_sswu_iso_mock():
     assert _mock(b, 16).verify() == []
 
 
+@pytest.mark.heavy
 def test_clear_cofactor_mock():
     rng = random.Random(32)
     b, chip = _chips()

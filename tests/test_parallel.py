@@ -37,6 +37,7 @@ def test_ntt_sharded_bit_exact(mesh, rng):
     assert [spec.decode(v) for v in np.asarray(back)] == vals
 
 
+@pytest.mark.heavy
 def test_msm_sharded_matches_host(mesh, rng):
     from spectre_tpu.parallel import msm_sharded
     from spectre_tpu.curves import host as H
