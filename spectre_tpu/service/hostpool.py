@@ -139,6 +139,24 @@ def worker_main(port: int) -> int:
 
 # --------------------------- coordinator side ---------------------------
 
+def worker_env(platform: str, base: Optional[dict] = None) -> dict:
+    """Build the spawn environment for a worker 'host'.
+
+    JAX_PLATFORMS=cpu alone is NOT enough to keep a worker off the real
+    chip: the axon sitecustomize (injected via PYTHONPATH) force-registers
+    the tunnel TPU and overrides jax_platforms programmatically, so every
+    'cpu' worker would silently contend for the ONE chip through the
+    tunnel (the original sched_scaling --hosts timeout). For cpu workers,
+    scrub .axon_site from PYTHONPATH exactly like tests/conftest does."""
+    env = dict(os.environ if base is None else base)
+    env["JAX_PLATFORMS"] = platform
+    if platform == "cpu":
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and ".axon_site" not in p)
+    return env
+
+
 class HostPool:
     """N worker processes + a FIFO: the multi-host ProofScheduler."""
 
@@ -150,17 +168,7 @@ class HostPool:
         self._results: Dict[int, dict] = {}
         self._lock = threading.Lock()
         self._next_id = 0
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = platform
-        if platform == "cpu":
-            # The axon sitecustomize (on PYTHONPATH) force-registers the
-            # tunnel TPU and overrides jax_platforms programmatically —
-            # JAX_PLATFORMS=cpu alone does NOT keep workers off the single
-            # real chip (they'd all contend through the tunnel; the
-            # sched_scaling --hosts timeout). Scrub it like tests/conftest.
-            env["PYTHONPATH"] = os.pathsep.join(
-                p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-                if p and ".axon_site" not in p)
+        env = worker_env(platform)
         repo = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
         for i in range(n_hosts):
