@@ -154,10 +154,22 @@ def main():
 
     srs = kzg.cached_srs(args.k)
     log("srs ready")
+    import pickle
+    pk_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "build", f"agg_{args.inner}_k{args.k}_pk.pkl")
     t0 = time.time()
-    pk = keygen(cs, args.k, fixed, srs)
-    t_kg = time.time() - t0
-    log(f"keygen done ({t_kg:.1f}s)")
+    if os.path.exists(pk_path):
+        with open(pk_path, "rb") as f:
+            pk = pickle.load(f)
+        t_kg = time.time() - t0
+        log(f"agg pk loaded from cache ({t_kg:.1f}s)")
+    else:
+        pk = keygen(cs, args.k, fixed, srs)
+        t_kg = time.time() - t0
+        with open(pk_path, "wb") as f:
+            pickle.dump(pk, f)
+        log(f"keygen done ({t_kg:.1f}s)")
 
     t0 = time.time()
     proof = create_proof(pk, srs, advice, instances, transcript="keccak")
