@@ -155,9 +155,14 @@ def main():
     srs = kzg.cached_srs(args.k)
     log("srs ready")
     import pickle
+    # cache key includes the cell count: in-circuit verifier cell counts
+    # are (slightly) proof-value-dependent for unseeded toy inners, and a
+    # PK keyed only by (inner, k) could silently pair with a shifted
+    # layout. Production uses AggregationCircuit.create_pk over a dummy
+    # snark, which is layout-stable.
     pk_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "build", f"agg_{args.inner}_k{args.k}_pk.pkl")
+        "build", f"agg_{args.inner}_k{args.k}_c{n_cells}_pk.pkl")
     t0 = time.time()
     if os.path.exists(pk_path):
         with open(pk_path, "rb") as f:
