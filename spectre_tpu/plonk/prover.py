@@ -749,6 +749,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     chunks = [perm_cols[i:i + chunk_len]
               for i in range(0, len(perm_cols), chunk_len)]
     omega_pows = V.powers(dom.omega, n)
+    col_chunk_budget = V.col_chunk(n)
 
     num_parts, den_parts = [], []
     by_m: Dict[int, List[int]] = {}
@@ -757,25 +758,34 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     # chunks are contiguous by size (all chunk_len, then one remainder), so
     # per-size outputs concatenate back in chunk order
     for m in sorted(by_m, key=lambda mm: by_m[mm][0]):
-        idxs = by_m[m]
-        cols_b = jnp.stack([jnp.stack([dev_cols[g] for g in chunks[i]])
-                            for i in idxs])
-        sigs_b = jnp.stack([jnp.stack(
-            [pk.dev_sigma(i * chunk_len + off) for off in range(m)])
-            for i in idxs])
-        deltas_b = jnp.asarray(np.stack([np.stack(
-            [spec.encode(pow(DELTA, i * chunk_len + off, FR))[:, None]
-             for off in range(m)]) for i in idxs]))
-        num_b, den_b = _perm_ratio_many_jit(m, usable, len(idxs))(
-            cols_b, sigs_b, deltas_b, beta_m, gamma_m, omega_pows)
-        num_parts.append(num_b)
-        den_parts.append(den_b)
-    if lookups_data:
-        num_b, den_b = _lookup_ratio_many_jit(usable, len(lookups_data))(
-            jnp.stack([ld["a"] for ld in lookups_data]),
-            jnp.stack([ld["s"] for ld in lookups_data]),
-            jnp.stack([ld["ap"] for ld in lookups_data]),
-            jnp.stack([ld["sp"] for ld in lookups_data]),
+        # slice the batch to the whole-stack column budget: wide circuits
+        # (the 795-advice aggregation at k=13 has ~500 perm chunks) OOM the
+        # 16 GB chip if every chunk's ratio enters ONE fused program
+        max_b = max(1, col_chunk_budget // m)
+        all_idxs = by_m[m]
+        for off in range(0, len(all_idxs), max_b):
+            idxs = all_idxs[off:off + max_b]
+            cols_b = jnp.stack([jnp.stack([dev_cols[g] for g in chunks[i]])
+                                for i in idxs])
+            sigs_b = jnp.stack([jnp.stack(
+                [pk.dev_sigma(i * chunk_len + off2) for off2 in range(m)])
+                for i in idxs])
+            deltas_b = jnp.asarray(np.stack([np.stack(
+                [spec.encode(pow(DELTA, i * chunk_len + off2, FR))[:, None]
+                 for off2 in range(m)]) for i in idxs]))
+            num_b, den_b = _perm_ratio_many_jit(m, usable, len(idxs))(
+                cols_b, sigs_b, deltas_b, beta_m, gamma_m, omega_pows)
+            num_parts.append(num_b)
+            den_parts.append(den_b)
+    # same budget slicing: each lookup ratio touches 4 columns at once
+    max_lk = max(1, col_chunk_budget // 4)
+    for off in range(0, len(lookups_data), max_lk):
+        blk = lookups_data[off:off + max_lk]
+        num_b, den_b = _lookup_ratio_many_jit(usable, len(blk))(
+            jnp.stack([ld["a"] for ld in blk]),
+            jnp.stack([ld["s"] for ld in blk]),
+            jnp.stack([ld["ap"] for ld in blk]),
+            jnp.stack([ld["sp"] for ld in blk]),
             beta_m, gamma_m)
         num_parts.append(num_b)
         den_parts.append(den_b)
