@@ -99,3 +99,40 @@ def test_gwc_scheme_roundtrip(setup):
     proof = create_proof(pk, srs, advice, instances, scheme="gwc")
     assert verify_proof(pk.vk, srs, proof, instances, scheme="gwc")
     assert not verify_proof(pk.vk, srs, proof, instances)  # scheme mismatch
+
+
+@pytest.mark.heavy
+def test_wide_circuit_sliced_grand_products():
+    """Wide-permutation regression: ~200 equality-enabled columns at k=5
+    produce ~200 permutation chunks (chunk_len = degree-2 = 1), forcing the
+    batched grand-product pass to slice to the col_chunk budget (64 at this
+    n). One fused program over every chunk OOMed the 16 GB chip on the
+    795-advice aggregation circuit; this pins the sliced path end-to-end."""
+    cs = ConstraintSystem()
+    s = cs.fixed_column()
+    a = cs.advice_column()
+    b = cs.advice_column()
+    c = cs.advice_column()
+    pi = cs.instance_column()
+    for col in (a, b, c, pi):
+        cs.enable_equality(col)
+    cs.create_gate("add", s.at() * (a.at() + b.at() - c.at()))
+    wide = [cs.advice_column() for _ in range(200)]
+    for col in wide:
+        cs.enable_equality(col)
+    # chain a copy through the wide columns so the permutation is nontrivial
+    for w1, w2 in zip(wide, wide[1:]):
+        cs.copy((w1.index, 0), (w2.index, 0))
+
+    rows = 8
+    s_col, a_col, b_col, c_col = _fib_assign(rows)
+    for i in range(rows - 1):
+        cs.copy((c.index, i), (b.index, i + 1))
+        cs.copy((b.index, i), (a.index, i + 1))
+    cs.copy((c.index, rows - 1), (pi.index, 0))
+    srs = make_srs(K)
+    pk = keygen(cs, K, [s_col + [0] * (N - rows)], srs)
+    advice = [a_col, b_col, c_col] + [[7] * rows for _ in wide]
+    instances = [[c_col[-1]]]
+    proof = create_proof(pk, srs, advice, instances)
+    assert verify_proof(pk.vk, srs, proof, instances)
