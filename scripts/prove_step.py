@@ -86,7 +86,7 @@ def main():
         t_kg = time.time() - t0
         log(f"pk loaded from cache ({t_kg:.1f}s)")
     else:
-        pk = keygen(cs, k, fixed, srs)
+        pk = keygen(cs, k, fixed, srs, checkpoint=pk_path + ".ckpt")
         t_kg = time.time() - t0
         with open(pk_path, "wb") as f:
             pickle.dump(pk, f)

@@ -92,7 +92,8 @@ class AppCircuit:
         witness = witness if witness is not None else cls.default_witness(spec)
         builder = cls.build(witness, spec)
         cs, fixed, _, _ = builder.compile(k)
-        pk = keygen(cs, k, fixed, srs)
+        pk = keygen(cs, k, fixed, srs,
+                    checkpoint=pk_path + ".ckpt" if pk_path else None)
         if pk_path:
             os.makedirs(os.path.dirname(pk_path) or ".", exist_ok=True)
             with open(pk_path, "wb") as f:

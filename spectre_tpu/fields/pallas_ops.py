@@ -210,3 +210,107 @@ def mont_mul_kernel(spec_name: str, T: int = 512):
         )(a, b)
 
     return run
+
+
+def _padd_rows(spec: L.FieldSpec, b3_limbs, P, Q):
+    """RCB complete addition on transposed (n, T) register blocks (the
+    padd_kernel body, shared so segmented/select variants fuse it too)."""
+    n = spec.n_limbs
+    mask = spec.B - 1
+    sh = spec.limb_bits
+    eightp = [int(x) for x in L.int_to_limbs(8 * spec.p, spec.limb_bits, n)]
+
+    def relax(x, passes=1):
+        for _ in range(passes):
+            cr = x >> sh
+            x = (x & mask) + jnp.pad(cr[:-1], ((1, 0), (0, 0)))
+        return x
+
+    def add(a, b):
+        return relax(a + b, 1)
+
+    def sub(a, b):
+        d = a - b
+        d = jnp.concatenate([d[j:j + 1] + eightp[j] for j in range(n)],
+                            axis=0)
+        return relax(d, 2)
+
+    def mulc_b3(a):
+        b3a = jnp.concatenate([jnp.full_like(a[:1], v) for v in b3_limbs],
+                              axis=0)
+        return _mont_mul_rows(spec, a, b3a)
+
+    def mul(a, b):
+        return _mont_mul_rows(spec, a, b)
+
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mul(add(Y1, Z1), add(Y2, Z2))
+    t4 = sub(t4, add(t1, t2))
+    X3 = mul(add(X1, Z1), add(X2, Z2))
+    Y3 = sub(X3, add(t0, t2))
+    X3 = add(add(t0, t0), t0)
+    t2 = mulc_b3(t2)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mulc_b3(Y3)
+    return (sub(mul(t3, t1), mul(t4, Y3)),
+            add(mul(Y3, X3), mul(t1, Z3)),
+            add(mul(Z3, t4), mul(X3, t3)))
+
+
+@functools.lru_cache(maxsize=None)
+def padd_seg_kernel(spec_name: str, b3: int, T: int = 256):
+    """Fused SEGMENTED complete addition: the associative-scan combine of
+    the Pippenger bucket accumulation (msm_pippenger), in one VMEM pass.
+
+    Inputs are two scan elements (X, Y, Z, flag) of transposed (n, N)
+    coords + (1, N) int32 segment-start flags; output is the monoid
+    combine: where flag2 keeps the right element, else the complete sum,
+    and flag1|flag2. The XLA-graph formulation of the same combine
+    materializes every REDC iteration of its 14 field muls to HBM — this
+    kernel reads each operand block once and writes each output block once
+    (measured ~8x on the v5e commit path; see ARCHITECTURE.md).
+    """
+    spec = {s.name: s for s in
+            (L.fr_spec, L.fq_spec, L.bls_fq_spec, L.bls_fr_spec)}[spec_name]
+    n = spec.n_limbs
+    b3_limbs = [int(x) for x in spec.encode(b3)]
+
+    def kernel(x1r, y1r, z1r, f1r, x2r, y2r, z2r, f2r,
+               x3r, y3r, z3r, f3r):
+        P = (x1r[...], y1r[...], z1r[...])
+        Q = (x2r[...], y2r[...], z2r[...])
+        f1, f2 = f1r[...], f2r[...]
+        sx, sy, sz = _padd_rows(spec, tuple(b3_limbs), P, Q)
+        keep = f2 != 0
+        x3r[...] = jnp.where(keep, Q[0], sx)
+        y3r[...] = jnp.where(keep, Q[1], sy)
+        z3r[...] = jnp.where(keep, Q[2], sz)
+        f3r[...] = f1 | f2
+
+    @jax.jit
+    def run(X1, Y1, Z1, F1, X2, Y2, Z2, F2):
+        N = X1.shape[-1]
+        Tb = min(T, N)
+        assert N % Tb == 0
+        grid = (N // Tb,)
+        bs = pl.BlockSpec((n, Tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+        fs = pl.BlockSpec((1, Tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bs, bs, bs, fs, bs, bs, bs, fs],
+            out_specs=[bs, bs, bs, fs],
+            out_shape=[jax.ShapeDtypeStruct((n, N), jnp.int32)] * 3
+            + [jax.ShapeDtypeStruct((1, N), jnp.int32)],
+            interpret=_interpret(),
+        )(X1, Y1, Z1, F1, X2, Y2, Z2, F2)
+        return tuple(out)
+
+    return run

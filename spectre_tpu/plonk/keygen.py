@@ -197,10 +197,30 @@ def _build_permutation(cs: ConstraintSystem, n: int) -> np.ndarray:
     return mapping
 
 
+def _ckpt_tag(k: int, ncols: int, mapping: np.ndarray) -> str:
+    """Cheap integrity tag for a keygen checkpoint: k, column counts, and
+    a hash of the permutation mapping (which encodes the whole copy
+    structure — any layout drift changes it)."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(b"%d:%d:%d:" % (k, ncols, len(mapping)))
+    h.update(np.ascontiguousarray(mapping).tobytes())
+    return h.hexdigest()[:16]
+
+
 def keygen(cs: ConstraintSystem, k: int, fixed_evals: List[List[int]],
-           srs: kzg.SrsKZG) -> ProvingKey:
-    """fixed_evals: per fixed column, length-2^k int evaluations."""
+           srs: kzg.SrsKZG, checkpoint: str | None = None) -> ProvingKey:
+    """fixed_evals: per fixed column, length-2^k int evaluations.
+
+    checkpoint: optional path; column commitments are flushed there after
+    every committed chunk so a killed keygen resumes instead of restarting
+    (the reference caches only the finished PK, util/circuit.rs:119-137 —
+    at ~1,300 column commits for step-nano a resumable partial matters).
+    """
     from ..poly import fr_vec as V
+    import os
+    import pickle
+    import time
     n = 1 << k
     dom = Domain(k)
     assert len(fixed_evals) == len(cs.fixed)
@@ -208,22 +228,66 @@ def keygen(cs: ConstraintSystem, k: int, fixed_evals: List[List[int]],
 
     mapping = _build_permutation(cs, n)
     m = len(cs.permutation_columns)
-
-    # build device eval columns in compile-safe chunks (whole-stack
-    # upload/sigma programs OOMed the 16 GB chip at k=18: mont REDC temps
-    # are ~1.3 KB/row/col in HLO), then commit through the buffer-width
-    # batched MSM path
     ncols = len(fixed_evals)
+    total = ncols + m
+
+    comms: List = []
+    tag = None
+    if checkpoint:
+        tag = _ckpt_tag(k, ncols, mapping)
+        if os.path.exists(checkpoint):
+            try:
+                with open(checkpoint, "rb") as f:
+                    st = pickle.load(f)
+                if st.get("tag") == tag:
+                    comms = st["comms"]
+                    print(f"[keygen] resume from checkpoint: "
+                          f"{len(comms)}/{total} commits", flush=True)
+                else:
+                    print("[keygen] checkpoint tag mismatch — restarting",
+                          flush=True)
+            except Exception as e:  # corrupt checkpoint = restart
+                print(f"[keygen] checkpoint unreadable ({e}) — restarting",
+                      flush=True)
+
+    def flush():
+        if not checkpoint:
+            return
+        tmp = checkpoint + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"tag": tag, "comms": comms}, f)
+        os.replace(tmp, checkpoint)
+
+    # build + commit lazily: builds run in compile-safe col_chunk steps
+    # (whole-stack upload/sigma programs OOMed the 16 GB chip at k=18:
+    # mont REDC temps are ~1.3 KB/row/col in HLO); commits run at the
+    # wider MSM batch width (same budget as commit_lagrange_col_list);
+    # the checkpoint flushes after every committed group
     step = V.col_chunk(n)
-    dev_eval_cols: List = []
-    for off in range(0, ncols, step):
-        dev_eval_cols.extend(V.unstack(
-            V.upload_ints_many(fixed_evals[off:off + step], n)))
-    for off in range(0, m, step):
-        dev_eval_cols.extend(V.unstack(
-            _sigma_dev_many(dom, mapping[off:off + step], m)))
-    comms = kzg.commit_lagrange_col_list(srs, dev_eval_cols)
-    del dev_eval_cols
+    width = max(step, min(32, (1 << 31) // max(n * 192, 1)))
+    t_last = time.time()
+    while len(comms) < total:
+        pending: List = []
+        while len(pending) < width and len(comms) + len(pending) < total:
+            off = len(comms) + len(pending)
+            if off < ncols:
+                cnt = min(step, ncols - off, width - len(pending))
+                pending.extend(V.unstack(
+                    V.upload_ints_many(fixed_evals[off:off + cnt], n)))
+            else:
+                soff = off - ncols
+                cnt = min(step, m - soff, width - len(pending))
+                pending.extend(V.unstack(
+                    _sigma_dev_many(dom, mapping[soff:soff + cnt], m)))
+        comms.extend(kzg.commit_lagrange_col_list(srs, pending))
+        del pending
+        flush()
+        if checkpoint and time.time() - t_last > 30:
+            print(f"[keygen] {len(comms)}/{total} commits", flush=True)
+            t_last = time.time()
+
+    if checkpoint and os.path.exists(checkpoint):
+        os.remove(checkpoint)
     fixed_comms = comms[:ncols]
     sigma_comms = comms[ncols:]
 

@@ -394,15 +394,35 @@ def msm_pippenger(points, scalars, curve: str = "bn254_g1",
 # Same per-window sorted-bucket algorithm as _commit_core.
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
-def _commit_core_t(curve_name: str):
-    from ..curves.limbjax import bn254_g1_ops_t, bls_g1_ops_t
-    cops = {"bn254_g1": bn254_g1_ops_t,
-            "bls12_381_g1": bls_g1_ops_t}[curve_name]
-    nlq = cops.spec.n_limbs
-    n_windows = L.fr_spec.n_limbs
+def _pallas_msm() -> bool:
+    """Use the fused pallas complete-add kernels in the commit path.
 
-    def combine(a, b):
+    Default ON for real TPUs; OFF on the CPU backend where pallas interpret
+    mode re-traces the grid loop per scan level (tests stay on the XLA
+    graph combine, which is bit-identical). SPECTRE_PALLAS_MSM=0/1
+    overrides."""
+    env = os.environ.get("SPECTRE_PALLAS_MSM")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
+def _t_combines(cops):
+    """(segmented_combine, plain_combine) for transposed scan elements."""
+    if _pallas_msm():
+        from ..fields.pallas_ops import padd_seg_kernel, padd_kernel
+        segk = padd_seg_kernel(cops.spec.name, cops.b)
+        addk = padd_kernel(cops.spec.name, cops.b)
+
+        def seg(a, b):
+            return segk(*a, *b)
+
+        def plain(a, b):
+            return tuple(addk(*a, *b))
+
+        return seg, plain
+
+    def seg(a, b):
         ax, ay, az, af = a
         bx, by, bz, bf = b
         sx, sy, sz = cops.padd_graph((ax, ay, az), (bx, by, bz))
@@ -411,6 +431,21 @@ def _commit_core_t(curve_name: str):
                 jnp.where(keep, by, sy),
                 jnp.where(keep, bz, sz),
                 af | bf)
+
+    def plain(a, b):
+        return cops.padd_graph(a, b)
+
+    return seg, plain
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_core_t(curve_name: str):
+    from ..curves.limbjax import bn254_g1_ops_t, bls_g1_ops_t
+    cops = {"bn254_g1": bn254_g1_ops_t,
+            "bls12_381_g1": bls_g1_ops_t}[curve_name]
+    nlq = cops.spec.n_limbs
+    n_windows = L.fr_spec.n_limbs
+    combine, plain_combine = _t_combines(cops)
 
     def tree_reduce_lanes(P, n):
         X, Y, Z = P
@@ -421,7 +456,7 @@ def _commit_core_t(curve_name: str):
                 odd = tuple(c[..., n - 1:n] for c in (X, Y, Z))
             lo = tuple(c[..., :half] for c in (X, Y, Z))
             hi = tuple(c[..., half:2 * half] for c in (X, Y, Z))
-            X, Y, Z = cops.padd_graph(lo, hi)
+            X, Y, Z = plain_combine(lo, hi)
             if odd is not None:
                 X = jnp.concatenate([X, odd[0]], axis=-1)
                 Y = jnp.concatenate([Y, odd[1]], axis=-1)
@@ -464,8 +499,7 @@ def _commit_core_t(curve_name: str):
             B = tuple(jnp.where(present[None, :], b, ir)
                       for b, ir in zip(bucket, ident_rows))
             T = jax.lax.associative_scan(
-                lambda a, b: cops.padd_graph(a, b), B, axis=1,
-                reverse=True)
+                plain_combine, B, axis=1, reverse=True)
             T1 = tuple(jnp.concatenate([c[:, 1:], ir], axis=-1)
                        for c, ir in zip(T, ident))
             win = tree_reduce_lanes(T1, N_BUCKETS)

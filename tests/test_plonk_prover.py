@@ -136,3 +136,38 @@ def test_wide_circuit_sliced_grand_products():
     instances = [[c_col[-1]]]
     proof = create_proof(pk, srs, advice, instances)
     assert verify_proof(pk.vk, srs, proof, instances)
+
+
+def test_keygen_checkpoint_resume(setup, tmp_path):
+    """A keygen killed mid-way resumes from its checkpoint and produces the
+    identical key (VERDICT r3: step-nano keygen DNF left nothing durable)."""
+    import pickle
+
+    from spectre_tpu.plonk.keygen import _build_permutation, _ckpt_tag
+
+    cs, srs, pk, advice, instances, _ = setup
+    fixed = [list(pk.fixed_evals[0])]
+    ckpt = str(tmp_path / "kg.ckpt")
+
+    # full keygen with checkpointing: same commitments, checkpoint removed
+    pk2 = keygen(cs, K, fixed, srs, checkpoint=ckpt)
+    assert pk2.vk.fixed_commitments == pk.vk.fixed_commitments
+    assert pk2.vk.sigma_commitments == pk.vk.sigma_commitments
+    import os
+    assert not os.path.exists(ckpt)
+
+    # simulate a kill after the first commits: seed a truncated checkpoint
+    mapping = _build_permutation(cs, 1 << K)
+    tag = _ckpt_tag(K, len(fixed), mapping)
+    all_comms = pk.vk.fixed_commitments + pk.vk.sigma_commitments
+    with open(ckpt, "wb") as f:
+        pickle.dump({"tag": tag, "comms": all_comms[:2]}, f)
+    pk3 = keygen(cs, K, fixed, srs, checkpoint=ckpt)
+    assert pk3.vk.fixed_commitments == pk.vk.fixed_commitments
+    assert pk3.vk.sigma_commitments == pk.vk.sigma_commitments
+
+    # a stale checkpoint (wrong tag) restarts cleanly instead of mixing keys
+    with open(ckpt, "wb") as f:
+        pickle.dump({"tag": "bogus", "comms": [all_comms[1]]}, f)
+    pk4 = keygen(cs, K, fixed, srs, checkpoint=ckpt)
+    assert pk4.vk.fixed_commitments == pk.vk.fixed_commitments
