@@ -80,6 +80,16 @@ class Asm:
         self.items.append(OPS["JUMPDEST"])
         return self
 
+    def mark_data(self, lab: Label) -> "Asm":
+        """Label a position without a JUMPDEST (data segment starts)."""
+        self.items.append(("MARK", lab))
+        return self
+
+    def raw(self, blob: bytes) -> "Asm":
+        """Append raw bytes (data segments: tapes, constant tables)."""
+        self.items.append(bytes(blob))
+        return self
+
     # ---- finalize ----
     def assemble(self) -> bytes:
         # first pass: offsets (labels occupy 2 bytes)

@@ -320,6 +320,13 @@ def execute(code: bytes, calldata: bytes = b"",
                 gas += mem.store_bytes(
                     doff, calldata[soff:soff + size].ljust(size, b"\x00"))
                 gas += 3 * ((size + 31) // 32)
+            elif name == "CODECOPY":
+                doff, soff, size = pop(), pop(), pop()
+                gas += mem.store_bytes(
+                    doff, code[soff:soff + size].ljust(size, b"\x00"))
+                gas += 3 * ((size + 31) // 32)
+            elif name == "CODESIZE":
+                stack.append(len(code))
             elif name == "MLOAD":
                 v, g = mem.load(pop())
                 gas += g

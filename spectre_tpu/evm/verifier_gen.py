@@ -270,13 +270,29 @@ def _emit_expr(g: _Gen, e: Expr, eval_slots: Dict[Tuple[int, int], int]):
         raise TypeError(f"unsupported expr in EVM codegen: {e!r}")
 
 
+def _dbg_return(g: _Gen, name: str, slots) -> bool:
+    """Debug hook: when generation was asked to stop at `name`, emit code
+    returning the listed slots (bisecting looped-vs-straight codegen)."""
+    if getattr(g, "debug_return", None) != name:
+        return False
+    a = g.a
+    for i, s in enumerate(slots):
+        g.load(s)
+        g.mstore_at(32 * (i + 1))
+    a.push(SUCCESS).op("MLOAD")
+    a.push(0).op("MSTORE")
+    a.push(32 * (len(slots) + 1)).push(0).op("RETURN")
+    return True
+
+
 def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
-              tb: int, acc_indices=None) -> _Gen:
+              tb: int, acc_indices=None, debug_return=None) -> _Gen:
     cs = vk.cs
     dom = vk.domain
     n = vk.n
     usable = cs.usable_rows(n)
     g = _Gen(vk, srs, inst_shape, tb, acc_indices)
+    g.debug_return = debug_return
     a = g.a
 
     # success := 1
@@ -315,6 +331,8 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
     f = (1 << ext_k) // n
     h_comms = [g.read_point() for _ in range(f)]
     x = g.squeeze()
+    if _dbg_return(g, "challenges", [theta, beta, gamma_perm, y, x]):
+        return g
 
     # ---- point powers: z_e = x * omega^e for every needed exponent ----
     queries = column_queries(cs)
@@ -404,6 +422,8 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
             g.fr_add_stack()
         g.store(s)
         inst_evals[(gcol, rot)] = s
+    if _dbg_return(g, "inst", list(inst_evals.values())):
+        return g
 
     # ---- read claimed evals; build the claims list ----
     # claim: (key, comm, e_sym, val_slot); comm: slot int | (x,y) const
@@ -477,6 +497,8 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
         lagrange_at_stack(i)
         g.fr_sub_stack()
     g.store(lactive)
+    if _dbg_return(g, "lagrange", [l0, llast, lactive]):
+        return g
 
     # ---- fold the constraint values with y (Horner, running slot) ----
     folded = g.slot()
@@ -623,6 +645,8 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
     g.load(zh_inv)
     g.fr_mul_stack()
     g.store(expected_h)
+    if _dbg_return(g, "folded", [folded, expected_h]):
+        return g
 
     # h_comm = sum xn^i [h_i]
     h_comm = g.point_slot()
@@ -721,6 +745,8 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
 
     Hc = g.read_point()
     u = g.squeeze()
+    if _dbg_return(g, "u", [gamma, u, Hc, Hc + 1]):
+        return g
 
     # (u - z_e) differences for all T
     udiff = {}
@@ -809,6 +835,8 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
     tmp2 = g.point_slot()
     g.ec_mul(tmp2, Hc, neg_zt)
     g.ec_add(E, E, tmp2)
+    if _dbg_return(g, "E", [const_acc, zt_u, E, E + 1]):
+        return g
 
     W = g.read_point()
 
@@ -873,6 +901,8 @@ def _generate(vk: VerifyingKey, srs, inst_shape: List[int],
     for i, v in enumerate((s_g2[0][1], s_g2[0][0], s_g2[1][1], s_g2[1][0])):
         a.push(int(v))
         g.mstore_at(pos + 256 + 32 * i)
+    if _dbg_return(g, "pairing", [P1, P1 + 1, negW, negW + 1]):
+        return g
     g._staticcall(8, pos, 384, pos, 32)
     g.and_success()
     a.push(pos).op("MLOAD")

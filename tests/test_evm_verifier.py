@@ -111,3 +111,32 @@ def test_generated_evm_verifier_rejects(toy):
     bad[-40] ^= 1
     r = execute(code, encode_calldata(instances, bytes(bad)))
     assert not r.success
+
+
+def test_looped_evm_verifier_accepts_and_rejects(toy):
+    """The deployable looped generator must accept/reject identically to
+    the straight-line one, in dramatically less code (VERDICT r3 next #3:
+    2.76 MB straight-line aggregation verifier vs EIP-170's 24,576 B)."""
+    from spectre_tpu.evm.verifier_gen import gen_evm_verifier
+    from spectre_tpu.evm.verifier_loop import gen_evm_verifier_looped
+    pk, srs, proof, instances = toy
+    shape = [len(c) for c in instances]
+    straight = gen_evm_verifier(pk.vk, srs, shape)
+    looped = gen_evm_verifier_looped(pk.vk, srs, shape)
+    assert len(looped) < len(straight)
+    cd = encode_calldata(instances, proof.data)
+    r = execute(looped, cd)
+    assert r.success, f"looped EVM verify failed: {r.error}"
+    assert int.from_bytes(r.returndata, "big") == 1
+
+    bad_inst = [[(v + 1) % FR for v in instances[0]]]
+    assert not execute(looped, encode_calldata(bad_inst, proof.data)).success
+    bad = bytearray(proof.data)
+    bad[-40] ^= 1
+    assert not execute(looped, encode_calldata(instances, bytes(bad))).success
+    # every 32-byte word of the proof matters: flip one bit per region
+    for off in (0, 64, len(proof.data) // 2):
+        bad = bytearray(proof.data)
+        bad[off] ^= 1
+        assert not execute(
+            looped, encode_calldata(instances, bytes(bad))).success
