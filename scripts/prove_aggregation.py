@@ -86,6 +86,9 @@ def main():
                          "i.e. the rpc.rs:144-160 production pipeline "
                          "shape end-to-end")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--verifier", default="looped",
+                    choices=["looped", "straight"],
+                    help="EVM verifier codegen (looped = deployable size)")
     ap.add_argument("--budget-only", action="store_true",
                     help="build the aggregation circuit, print its cell "
                          "count + minimal k, and exit before any keygen")
@@ -110,7 +113,11 @@ def main():
     from spectre_tpu.plonk.prover import create_proof
     from spectre_tpu.plonk.verifier import verify_proof
     from spectre_tpu.poly import kzg
-    from spectre_tpu.evm.verifier_gen import gen_evm_verifier
+    if args.verifier == "looped":
+        from spectre_tpu.evm.verifier_loop import (
+            gen_evm_verifier_looped as gen_evm_verifier)
+    else:
+        from spectre_tpu.evm.verifier_gen import gen_evm_verifier
     from spectre_tpu.evm.calldata import encode_calldata
     from spectre_tpu.evm.interp import execute
 
@@ -203,6 +210,8 @@ def main():
         "agg_proof_bytes": len(proof.data),
         "calldata_bytes": len(cd),
         "verifier_code_bytes": len(code),
+        "verifier_style": args.verifier,
+        "eip170_ok": len(code) <= 24576,
         "evm_gas": r.gas_used,
         "keygen_s": round(t_kg, 1),
         "prove_s": round(t_prove, 1),

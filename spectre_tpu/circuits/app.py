@@ -148,10 +148,17 @@ class AppCircuit:
     @classmethod
     def gen_evm_verifier(cls, pk: ProvingKey, srs: kzg.SrsKZG,
                          inst_shape, path: Optional[str] = None,
-                         accumulator_indices=None) -> bytes:
+                         accumulator_indices=None,
+                         style: str = "looped") -> bytes:
         """EVM verifier bytecode for this circuit's VK
-        (gen_evm_verifier_shplonk analog, util/circuit.rs:182-194)."""
-        from ..evm.verifier_gen import gen_evm_verifier
+        (gen_evm_verifier_shplonk analog, util/circuit.rs:182-194).
+        style: 'looped' (deployable data-driven codegen, the default) or
+        'straight' (fully unrolled; cross-check oracle)."""
+        if style == "looped":
+            from ..evm.verifier_loop import (
+                gen_evm_verifier_looped as gen_evm_verifier)
+        else:
+            from ..evm.verifier_gen import gen_evm_verifier
         code = gen_evm_verifier(pk.vk, srs, list(inst_shape),
                                 accumulator_indices=accumulator_indices)
         if path:
