@@ -298,6 +298,8 @@ def _schoolbook(spec: FieldSpec, a, b):
     MACs on the VPU since int32 dots don't ride the MXU; measured ~20x
     slower on v5e).
     """
+    from . import limb_t as _lt
+    _lt._check_amp(spec, "_schoolbook", a, b)
     n = spec.n_limbs
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     pad_cfg = [(0, 0)] * len(batch)

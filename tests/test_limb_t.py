@@ -151,3 +151,28 @@ def test_transposed_commit_sliced_vs_host(rng, monkeypatch):
     got_many = MP.commit_dev_many_t(
         enc_t, np.stack([spec.encode_plain_batch(c).T for c in cols]))
     assert got_many == [H.bn254_g1.msm(pts, c) for c in cols]
+
+
+def test_checked_mode_catches_amplitude_violation(monkeypatch):
+    """SPECTRE_CHECKED converts a lazy-reduction bound violation from
+    'silent int32 wrap -> corrupt proof' into a loud error (VERDICT r3
+    weak #7)."""
+    import numpy as np
+    import jax
+    import pytest
+    from spectre_tpu.fields import limb as L
+    from spectre_tpu.fields import limb_t as LT
+
+    monkeypatch.setattr(LT, "_CHECKED", True)
+    spec = L.fr_spec
+    ops = LT.make_ops_t("bn254_fr")
+    # unique shapes force a fresh trace so the check callback is embedded
+    ok = np.asarray(spec.encode(12345))[:, None] * np.ones((1, 3), np.int32)
+    out = ops.mont_mul(ok, ok)
+    jax.block_until_ready(out)          # legal amplitude: no error
+
+    bad = (np.asarray(spec.encode(12345))[:, None]
+           * np.ones((1, 5), np.int32))     # fresh shape -> fresh trace
+    bad[0, 0] = 1 << (spec.limb_bits + 3)   # way past the relaxed bound
+    with pytest.raises(Exception, match="amplitude"):
+        jax.block_until_ready(ops.mont_mul(bad, bad))
