@@ -151,13 +151,36 @@ class InCircuitVerifier:
 
     def _select_by_bits(self, tab: List[EcPoint],
                         bits: List[AssignedValue]) -> EcPoint:
-        """tab[digit] via a binary select tree (bits LSB-first,
-        len(tab) == 2^len(bits))."""
-        cur = tab
-        for b in bits:
-            cur = [self.ecc.select(b, cur[2 * i + 1], cur[2 * i])
-                   for i in range(len(cur) // 2)]
-        return cur[0]
+        """tab[digit] via digit indicators + cell-cell inner products.
+
+        The binary select tree costs (2^c - 1) point selects (~1,200 cells
+        per window at c=4); building the 2^c one-hot indicator vector once
+        (~130 cells) and taking 8 inner products against the table's limb
+        cells (~140 cells) selects the same point ~4x cheaper. Soundness:
+        bits are boolean-constrained, so the indicator products form a
+        one-hot vector by construction."""
+        ctx = self.ctx
+        one = ctx.load_constant(1)
+        b0 = bits[0]
+        cur = [ctx.sub(one, b0), b0]
+        for b in bits[1:]:
+            nb = ctx.sub(one, b)
+            cur = ([ctx.mul(x, nb) for x in cur]
+                   + [ctx.mul(x, b) for x in cur])
+        digit = sum(int(b.value) << i for i, b in enumerate(bits))
+
+        from .bigint import CrtInt
+
+        def sel_crt(coords: List) -> CrtInt:
+            limbs = [ctx.inner_product([c.limbs[j] for c in coords], cur)
+                     for j in range(len(coords[0].limbs))]
+            native = ctx.inner_product([c.native for c in coords], cur)
+            lv = list(coords[digit].limb_vals)
+            return CrtInt(limbs, lv, native,
+                          max(c.max_limb for c in coords))
+
+        return EcPoint(sel_crt([p.x for p in tab]),
+                       sel_crt([p.y for p in tab]))
 
     def _msm(self, terms: List[Tuple[object, AssignedValue]]) -> EcPoint:
         """Σ scalar_i · P_i — fixed-window (c=4) Pippenger with SHARED

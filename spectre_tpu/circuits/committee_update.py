@@ -78,10 +78,19 @@ class CommitteeUpdateCircuit(AppCircuit):
     def default_witness(cls, spec: Spec):
         return CommitteeUpdateArgs.default(spec)
 
+    # SHA backend: "wide" (row-parallel dedicated region, ~123 columns —
+    # fastest direct prove) or "flex" (spread-lookup in the main gate —
+    # trades rows for columns; see CommitteeUpdateCircuitThin)
+    SHA_BACKEND = "wide"
+
     @classmethod
     def build(cls, witness: CommitteeUpdateArgs, spec: Spec) -> CircuitBuilder:
         b = CircuitBuilder()
-        chip = ShaWideChip(b)
+        if cls.SHA_BACKEND == "flex":
+            from .sha256_gadget import ShaFlexWordChip
+            chip = ShaFlexWordChip(b)
+        else:
+            chip = ShaWideChip(b)
         _register_u8(b)
         ctx = b.main()
 
@@ -153,3 +162,17 @@ class CommitteeUpdateCircuit(AppCircuit):
         b.expose_public(root_lo)
         b.expose_public(root_hi)
         return b
+
+
+class CommitteeUpdateCircuitThin(CommitteeUpdateCircuit):
+    """Thin-layout committee circuit: identical statement and instances,
+    but all hashing runs on the spread-lookup SHA chip inside the main
+    gate instead of the 123-column wide region.
+
+    Purpose: the aggregation (compression) inner. The in-circuit SHPLONK
+    verifier pays ~280k cells per inner-VK polynomial, so a wide inner
+    (~170 polys at nano) costs ~47M aggregation cells; the thin variant
+    collapses the inner VK to tens of polys (the reference's aggregated
+    circuits are likewise few-column at high k,
+    config/committee_update_verifier_*.json)."""
+    SHA_BACKEND = "flex"

@@ -297,3 +297,63 @@ class Sha256Chip:
             ctx.constrain_equal(recomb, w.dense)
             out.extend(reversed(ds))
         return out
+
+
+class ShaFlexWordChip:
+    """Word-level SHA interface (the ShaWideChip contract: hash_blocks +
+    digest_words_of_bytes) over the spread-lookup Sha256Chip.
+
+    Purpose: THIN circuit layouts. The wide engine pins ~123 dedicated
+    columns regardless of k, which makes any circuit that uses it
+    column-heavy — fatal for the aggregation stage, whose in-circuit MSM
+    pays ~280k cells per inner-VK polynomial (one per column). Building
+    the committee circuit on this adapter instead trades rows for columns
+    (the reference's sha256_flex choice for the step circuit,
+    sha256_flex.rs:44-196), collapsing the inner VK to tens of polys."""
+
+    def __init__(self, builder):
+        self.sha = Sha256Chip(builder)
+        self.ctx = builder.main()
+
+    def hash_blocks(self, word_cells_per_block):
+        """Chained 16-word blocks (cells or int constants) -> 8 digest
+        word cells, same contract as ShaWideChip.hash_blocks."""
+        sha = self.sha
+        state = [sha.word_const(h) for h in H0]
+        for words in word_cells_per_block:
+            wws = []
+            for w in words:
+                if isinstance(w, AssignedValue):
+                    wws.append(sha.word_from_cell(w))
+                else:
+                    wws.append(sha.word_const(int(w)))
+            state = sha.compress(state, wws)
+        return [w.dense for w in state]
+
+    def digest_words_of_bytes(self, byte_cells):
+        """Fixed-length byte-cell message -> 8 BE digest word cells (the
+        ShaWideChip.digest_words_of_bytes contract: bytes pack into BE
+        words with recomposition constraints, standard padding)."""
+        ctx = self.ctx
+        n = len(byte_cells)
+        msg = list(byte_cells)
+        pad = bytearray([0x80])
+        pad += b"\x00" * ((55 - n) % 64)
+        pad += (8 * n).to_bytes(8, "big")
+        allm = msg + [int(x) for x in pad]
+        assert len(allm) % 64 == 0
+        blocks = []
+        for off in range(0, len(allm), 64):
+            words = []
+            for wi in range(16):
+                quad = allm[off + 4 * wi: off + 4 * wi + 4]
+                if all(isinstance(q, int) for q in quad):
+                    words.append(sum(q << (8 * (3 - i))
+                                     for i, q in enumerate(quad)))
+                else:
+                    quad_c = [q if isinstance(q, AssignedValue)
+                              else ctx.load_constant(q) for q in quad]
+                    words.append(ctx.inner_product(
+                        quad_c, [1 << (8 * (3 - i)) for i in range(4)]))
+            blocks.append(words)
+        return self.hash_blocks(blocks)

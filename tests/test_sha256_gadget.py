@@ -75,3 +75,28 @@ def test_sha256_circuit_mock_catches_tamper():
     prover, cs = _mock(b, 14)
     fails = prover.verify(raise_on_failure=False)
     assert fails
+
+
+def test_flex_word_chip_matches_hashlib():
+    """ShaFlexWordChip (thin-layout word-level adapter) produces the same
+    digests as hashlib through both entry points."""
+    import hashlib
+    from spectre_tpu.circuits.builder import CircuitBuilder
+    from spectre_tpu.circuits.sha256_gadget import ShaFlexWordChip
+    from spectre_tpu.circuits.ssz_merkle import sha_pair_words
+
+    b = CircuitBuilder()
+    chip = ShaFlexWordChip(b)
+    ctx = b.main()
+    msg = bytes(range(64))
+    cells = ctx.assign_many(list(msg))
+    words = chip.digest_words_of_bytes(cells)
+    got = b"".join(int(w.value).to_bytes(4, "big") for w in words)
+    assert got == hashlib.sha256(msg).digest()
+
+    left = ctx.assign_many([int.from_bytes(msg[4 * i:4 * i + 4], "big")
+                            for i in range(8)])
+    right = [0] * 8
+    pw = sha_pair_words(chip, left, right)
+    got2 = b"".join(int(w.value).to_bytes(4, "big") for w in pw)
+    assert got2 == hashlib.sha256(msg[:32] + b"\x00" * 32).digest()
