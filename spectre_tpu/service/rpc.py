@@ -35,12 +35,26 @@ class ProverState:
     concurrency semaphore."""
     spec: Spec
     concurrency: int = 1
-    k_step: int = 20
-    k_committee: int = 20
-    k_agg: int = 17
+    k_step: int = 0          # 0 = per-spec default (sizes that have
+    k_committee: int = 0     # actually been keygen'd/proven; the r3
+    k_agg: int = 0           # defaults of 20/20/17 were fiction)
     build_dir: str = "./build"
 
+    # per-spec circuit degrees with recorded runs (benchmarks/records):
+    # committee nano k=13 / minimal k=14 / testnet k=18; step nano k=15.
+    _K_DEFAULTS = {
+        "nano": {"step": 15, "committee": 13, "agg": 17},
+        "minimal": {"step": 16, "committee": 14, "agg": 18},
+        "testnet": {"step": 21, "committee": 18, "agg": 19},
+        "mainnet": {"step": 21, "committee": 18, "agg": 19},
+    }
+
     def __post_init__(self):
+        dflt = self._K_DEFAULTS.get(getattr(self.spec, "name", ""),
+                                    self._K_DEFAULTS["minimal"])
+        self.k_step = self.k_step or dflt["step"]
+        self.k_committee = self.k_committee or dflt["committee"]
+        self.k_agg = self.k_agg or dflt["agg"]
         self.semaphore = asyncio.Semaphore(self.concurrency)
         self._pks = {}
         self._srs = {}
