@@ -39,6 +39,8 @@ def merkleize_chunks(chunks, limit: int | None = None) -> bytes:
         size *= 2
         depth += 1
     layer = list(chunks)
+    if not layer and depth == 0:
+        return zero_hash(0)
     for d in range(depth):
         nxt = []
         for i in range(0, len(layer), 2):
