@@ -92,10 +92,27 @@ def bench_prove():
     37k-cell k=13 circuit on the 64-core reference host, estimated ~10 s
     (the reference publishes no numbers; BASELINE.md)."""
     import subprocess
+    env = dict(os.environ)
+    # preflight: the commit path rides pallas fused kernels (round 4);
+    # a 2-minute parity check gates the scored run — on any failure the
+    # prove falls back to the bit-identical XLA combine
+    if env.get("SPECTRE_PALLAS_MSM") != "0":
+        try:
+            pf = subprocess.run(
+                [sys.executable, "-u", "scripts/tpu_sanity.py",
+                 "--n", "1024", "--cols", "2"],
+                capture_output=True, text=True, timeout=1200)
+            ok = '"parity_ok": true' in pf.stdout
+        except Exception:
+            ok = False
+        if not ok:
+            env["SPECTRE_PALLAS_MSM"] = "0"
+            print("# pallas MSM preflight failed — XLA fallback",
+                  file=sys.stderr, flush=True)
     r = subprocess.run(
         [sys.executable, "-u", "scripts/prove_committee.py",
          "--spec", "nano", "--k", "13", "--repeat", "2"],
-        capture_output=True, text=True, timeout=5200)
+        capture_output=True, text=True, timeout=5200, env=env)
     line = [l for l in r.stdout.splitlines() if l.startswith("{")]
     d = json.loads(line[-1])
     assert d["verified"]

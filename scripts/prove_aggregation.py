@@ -17,20 +17,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _committee_nano_inner(inner_k: int, log):
+def _committee_nano_inner(inner_k: int, log, thin: bool = False):
     """REAL inner snark: CommitteeUpdateCircuit at nano (4 keys), Poseidon
     transcript — the app-circuit stage of the reference's compressed
     pipeline (rpc.rs:144-149). PK and proof are disk-cached in build/ so
-    the aggregation stage can iterate without re-proving."""
+    the aggregation stage can iterate without re-proving.
+
+    thin: use the flex-SHA thin layout (CommitteeUpdateCircuitThin) — at
+    k>=18 the inner VK collapses to tens of polys, which is what makes
+    the aggregation stage affordable (VERDICT r3 next #5)."""
     import pickle
     import random
     from spectre_tpu.specs import Spec
     from spectre_tpu import ssz
     from spectre_tpu.curves import host as H
     from spectre_tpu.witness.rotation import CommitteeUpdateArgs
-    from spectre_tpu.circuits.committee_update import CommitteeUpdateCircuit
+    from spectre_tpu.circuits.committee_update import (
+        CommitteeUpdateCircuit, CommitteeUpdateCircuitThin)
     from spectre_tpu.plonk.verifier import verify_proof
     from spectre_tpu.poly import kzg
+    if thin:
+        CommitteeUpdateCircuit = CommitteeUpdateCircuitThin  # noqa: F811
 
     spec = Spec(name="nano", sync_committee_size=4)
     rng = random.Random(42)
@@ -49,14 +56,16 @@ def _committee_nano_inner(inner_k: int, log):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     srs = kzg.cached_srs(inner_k)
+    variant = "nano_thin" if thin else "nano"
     pk_path = os.path.join(repo, "build",
-                           f"committee_nano_k{inner_k}_pk.pkl")
+                           f"committee_{variant}_k{inner_k}_pk.pkl")
     pk_i = CommitteeUpdateCircuit.create_pk(spec, inner_k, srs,
                                             pk_path=pk_path, witness=wit)
     log(f"inner committee-nano pk ready (k={inner_k})")
 
     proof_path = os.path.join(
-        repo, "build", f"committee_nano_k{inner_k}_poseidon_proof.pkl")
+        repo, "build",
+        f"committee_{variant}_k{inner_k}_poseidon_proof.pkl")
     builder = CommitteeUpdateCircuit.build(wit, spec)
     inst_i = builder.instances()
     if os.path.exists(proof_path):
@@ -79,7 +88,8 @@ def main():
     ap.add_argument("--k", type=int, default=17)
     ap.add_argument("--inner-k", type=int, default=5)
     ap.add_argument("--inner", default="toy",
-                    choices=["toy", "committee-nano"],
+                    choices=["toy", "committee-nano",
+                             "committee-nano-thin"],
                     help="inner snark: 'toy' (k=5 gate circuit) or "
                          "'committee-nano' — the REAL CommitteeUpdate "
                          "circuit at the 4-key nano spec (inner-k=13), "
@@ -125,6 +135,10 @@ def main():
     if args.inner == "committee-nano":
         args.inner_k = max(args.inner_k, 13)
         inst_i, pk_i, inner_proof = _committee_nano_inner(args.inner_k, log)
+    elif args.inner == "committee-nano-thin":
+        args.inner_k = max(args.inner_k, 16)
+        inst_i, pk_i, inner_proof = _committee_nano_inner(
+            args.inner_k, log, thin=True)
     else:
         b = CircuitBuilder()
         rc = RangeChip(b, 3)
