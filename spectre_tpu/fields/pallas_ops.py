@@ -31,6 +31,27 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _lane_tiles(T: int, N: int):
+    """(Tb, Np): lane-tile width and padded width for arbitrary N >= 1.
+
+    Callers arrive with whatever slice lengths lax.associative_scan's
+    recursion produces (odd halves, length-0 tails at num_elems=2), so the
+    kernels cannot assume N % T == 0. TPU lanes are 128-wide: round N up to
+    a multiple of 128; one block if that fits in T, else pad to a multiple
+    of T."""
+    Np = -(-N // 128) * 128
+    if Np <= T:
+        return Np, Np
+    return T, -(-N // T) * T
+
+
+def _pad_lanes(arrs, Np: int):
+    return tuple(
+        a if a.shape[-1] == Np else
+        jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, Np - a.shape[-1]),))
+        for a in arrs)
+
+
 def _mont_mul_rows(spec: L.FieldSpec, a, b):
     """Schoolbook + REDC on (n_limbs, T) register values inside a kernel."""
     n = spec.n_limbs
@@ -92,22 +113,29 @@ def butterfly_kernel(spec_name: str, T: int = 512):
     @jax.jit
     def run(tw, odd, even):
         N = tw.shape[-1]
-        grid = (N // T,)
-        bs = pl.BlockSpec((n, T), lambda i: (0, i), memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        if N == 0:
+            return odd, even
+        Tb, Np = _lane_tiles(T, N)
+        args = _pad_lanes((tw, odd, even), Np)
+        grid = (Np // Tb,)
+        bs = pl.BlockSpec((n, Tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[bs, bs, bs],
             out_specs=[bs, bs],
-            out_shape=[jax.ShapeDtypeStruct((n, N), jnp.int32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((n, Np), jnp.int32)] * 2,
             interpret=_interpret(),
-        )(tw, odd, even)
+        )(*args)
+        if Np != N:
+            out = [o[..., :N] for o in out]
+        return tuple(out)
 
     return run
 
 
 @functools.lru_cache(maxsize=None)
-def padd_kernel(spec_name: str, b3: int, T: int = 256):
+def padd_kernel(spec_name: str, b: int, T: int = 256):
     """Fused RCB complete addition on transposed (n, N) coordinate blocks.
 
     (X1,Y1,Z1,X2,Y2,Z2) -> (X3,Y3,Z3); 12 mont-muls + 2 b3-muls + adds all
@@ -119,7 +147,7 @@ def padd_kernel(spec_name: str, b3: int, T: int = 256):
     n = spec.n_limbs
     mask = spec.B - 1
     sh = spec.limb_bits
-    b3_limbs = [int(x) for x in spec.encode(b3)]
+    b3_limbs = [int(x) for x in spec.encode(3 * b)]
     eightp = [int(x) for x in L.int_to_limbs(8 * spec.p, spec.limb_bits, n)]
 
     def relax(x, passes=1):
@@ -169,18 +197,23 @@ def padd_kernel(spec_name: str, b3: int, T: int = 256):
     @jax.jit
     def run(X1, Y1, Z1, X2, Y2, Z2):
         N = X1.shape[-1]
-        Tb = min(T, N)
-        assert N % Tb == 0
-        grid = (N // Tb,)
+        if N == 0:
+            return X1, Y1, Z1
+        Tb, Np = _lane_tiles(T, N)
+        args = _pad_lanes((X1, Y1, Z1, X2, Y2, Z2), Np)
+        grid = (Np // Tb,)
         bs = pl.BlockSpec((n, Tb), lambda i: (0, i), memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[bs] * 6,
             out_specs=[bs] * 3,
-            out_shape=[jax.ShapeDtypeStruct((n, N), jnp.int32)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((n, Np), jnp.int32)] * 3,
             interpret=_interpret(),
-        )(X1, Y1, Z1, X2, Y2, Z2)
+        )(*args)
+        if Np != N:
+            out = [o[..., :N] for o in out]
+        return tuple(out)
 
     return run
 
@@ -198,16 +231,21 @@ def mont_mul_kernel(spec_name: str, T: int = 512):
     @jax.jit
     def run(a, b):
         N = a.shape[-1]
-        grid = (N // T,)
-        bs = pl.BlockSpec((n, T), lambda i: (0, i), memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        if N == 0:
+            return a
+        Tb, Np = _lane_tiles(T, N)
+        a2, b2 = _pad_lanes((a, b), Np)
+        grid = (Np // Tb,)
+        bs = pl.BlockSpec((n, Tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[bs, bs],
             out_specs=bs,
-            out_shape=jax.ShapeDtypeStruct((n, N), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n, Np), jnp.int32),
             interpret=_interpret(),
-        )(a, b)
+        )(a2, b2)
+        return out[..., :N] if Np != N else out
 
     return run
 
@@ -265,7 +303,7 @@ def _padd_rows(spec: L.FieldSpec, b3_limbs, P, Q):
 
 
 @functools.lru_cache(maxsize=None)
-def padd_seg_kernel(spec_name: str, b3: int, T: int = 256):
+def padd_seg_kernel(spec_name: str, b: int, T: int = 256):
     """Fused SEGMENTED complete addition: the associative-scan combine of
     the Pippenger bucket accumulation (msm_pippenger), in one VMEM pass.
 
@@ -280,7 +318,7 @@ def padd_seg_kernel(spec_name: str, b3: int, T: int = 256):
     spec = {s.name: s for s in
             (L.fr_spec, L.fq_spec, L.bls_fq_spec, L.bls_fr_spec)}[spec_name]
     n = spec.n_limbs
-    b3_limbs = [int(x) for x in spec.encode(b3)]
+    b3_limbs = [int(x) for x in spec.encode(3 * b)]
 
     def kernel(x1r, y1r, z1r, f1r, x2r, y2r, z2r, f2r,
                x3r, y3r, z3r, f3r):
@@ -297,9 +335,11 @@ def padd_seg_kernel(spec_name: str, b3: int, T: int = 256):
     @jax.jit
     def run(X1, Y1, Z1, F1, X2, Y2, Z2, F2):
         N = X1.shape[-1]
-        Tb = min(T, N)
-        assert N % Tb == 0
-        grid = (N // Tb,)
+        if N == 0:
+            return X2, Y2, Z2, F2
+        Tb, Np = _lane_tiles(T, N)
+        args = _pad_lanes((X1, Y1, Z1, F1, X2, Y2, Z2, F2), Np)
+        grid = (Np // Tb,)
         bs = pl.BlockSpec((n, Tb), lambda i: (0, i), memory_space=pltpu.VMEM)
         fs = pl.BlockSpec((1, Tb), lambda i: (0, i), memory_space=pltpu.VMEM)
         out = pl.pallas_call(
@@ -307,10 +347,12 @@ def padd_seg_kernel(spec_name: str, b3: int, T: int = 256):
             grid=grid,
             in_specs=[bs, bs, bs, fs, bs, bs, bs, fs],
             out_specs=[bs, bs, bs, fs],
-            out_shape=[jax.ShapeDtypeStruct((n, N), jnp.int32)] * 3
-            + [jax.ShapeDtypeStruct((1, N), jnp.int32)],
+            out_shape=[jax.ShapeDtypeStruct((n, Np), jnp.int32)] * 3
+            + [jax.ShapeDtypeStruct((1, Np), jnp.int32)],
             interpret=_interpret(),
-        )(X1, Y1, Z1, F1, X2, Y2, Z2, F2)
+        )(*args)
+        if Np != N:
+            out = [o[..., :N] for o in out]
         return tuple(out)
 
     return run
