@@ -249,7 +249,8 @@ def _cmd_circuit(args) -> int:
 def _cmd_rpc(args) -> int:
     from .rpc import run_rpc
     run_rpc(port=args.port, concurrency=args.concurrency,
-            spec_name=args.spec)
+            spec_name=args.spec, k_step=args.k_step,
+            k_committee=args.k_committee, k_agg=args.k_agg)
     return 0
 
 
@@ -286,6 +287,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--port", type=int, default=3000)
     r.add_argument("--concurrency", type=int, default=1)
     r.add_argument("--spec", default="testnet")
+    r.add_argument("--k-step", type=int, default=0,
+                   help="step circuit degree (0 = per-spec default)")
+    r.add_argument("--k-committee", type=int, default=0,
+                   help="committee circuit degree (0 = per-spec default)")
+    r.add_argument("--k-agg", type=int, default=0,
+                   help="aggregation degree (0 = per-spec default)")
     r.set_defaults(fn=_cmd_rpc)
     return p
 
