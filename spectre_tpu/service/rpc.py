@@ -48,7 +48,7 @@ class ProverState:
     # committee nano k=13 / minimal k=14 / testnet k=18; step nano k=15.
     # committee_thin runs deeper (fewer columns) — the agg-affordable shape.
     _K_DEFAULTS = {
-        "nano": {"step": 15, "committee": 13, "committee_thin": 16,
+        "nano": {"step": 15, "committee": 13, "committee_thin": 18,
                  "agg": 17},
         "minimal": {"step": 16, "committee": 14, "committee_thin": 17,
                     "agg": 18},
@@ -91,10 +91,16 @@ class ProverState:
             k = self.k_committee if kind == "committee" else self.k_step
             cls = self._circuit(kind)
             pk_path = os.path.join(
-                self.build_dir, f"{kind}_{self.spec.name}_pk.pkl")
+                self.build_dir, f"{self._pk_stem(kind)}_pk.pkl")
             self._pks[kind] = cls.create_pk(self.spec, k, self.srs(k),
                                             pk_path=pk_path)
         return self._pks[kind]
+
+    def _pk_stem(self, kind: str) -> str:
+        stem = f"{kind}_{self.spec.name}"
+        if kind == "committee" and self.committee_impl == "thin":
+            stem += "_thin"
+        return stem
 
     def agg_pk(self, kind: str):
         """Aggregation PK for the given app circuit, keygen'd from a dummy
@@ -106,21 +112,23 @@ class ProverState:
             k = self.k_committee if kind == "committee" else self.k_step
             cls = self._circuit(kind)
             pk_path = os.path.join(
-                self.build_dir, f"{kind}_{self.spec.name}_pk.pkl")
+                self.build_dir, f"{self._pk_stem(kind)}_pk.pkl")
             dummy = AggregationCircuit.dummy_input(
                 cls, self.spec, k, self.srs(k), pk_path=pk_path)
             agg_path = os.path.join(
-                self.build_dir, f"{kind}_{self.spec.name}_agg_pk.pkl")
+                self.build_dir, f"{self._pk_stem(kind)}_agg_pk.pkl")
             self._pks[key] = AggregationCircuit.create_pk(
                 self.spec, self.k_agg, self.srs(self.k_agg),
                 pk_path=agg_path, witness=dummy)
         return self._pks[key]
 
-    @staticmethod
-    def _circuit(kind: str):
+    def _circuit(self, kind: str):
         if kind == "committee":
-            from ..circuits.committee_update import CommitteeUpdateCircuit
-            return CommitteeUpdateCircuit
+            from ..circuits.committee_update import (
+                CommitteeUpdateCircuit, CommitteeUpdateCircuitThin)
+            return (CommitteeUpdateCircuitThin
+                    if self.committee_impl == "thin"
+                    else CommitteeUpdateCircuit)
         from ..circuits.sync_step import StepCircuit
         return StepCircuit
 
@@ -135,7 +143,7 @@ async def _handle(state: ProverState, method: str, params) -> dict:
     def prove(kind: str, args, instances):
         """The rpc.rs:144-160 pipeline: inner snark → aggregation EVM
         proof → self-verify → calldata."""
-        cls = ProverState._circuit(kind)
+        cls = state._circuit(kind)
         pk = state.pk(kind)
         k = state.k_committee if kind == "committee" else state.k_step
         inner_proof, got = cls.gen_snark(pk, state.spec, state.srs(k), args)

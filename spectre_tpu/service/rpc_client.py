@@ -6,8 +6,9 @@ import urllib.request
 
 
 class Client:
-    def __init__(self, url: str):
+    def __init__(self, url: str, timeout: float = 600.0):
         self.url = url
+        self.timeout = timeout
         self._id = 0
 
     def call(self, method: str, params):
@@ -19,7 +20,7 @@ class Client:
         req = urllib.request.Request(
             self.url, data=body,
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=600) as r:
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
             resp = json.load(r)
         if "error" in resp and resp["error"]:
             raise RuntimeError(f"rpc error: {resp['error']}")

@@ -33,5 +33,10 @@ TESTNET = Spec(name="testnet", sync_committee_size=512,
                execution_state_root_index=25)
 MAINNET = Spec(name="mainnet", sync_committee_size=512,
                execution_state_root_index=25)
+# dev-only 4-validator spec (no reference analog): the smallest committee
+# the circuits accept — used by the on-TPU iteration scripts and the
+# unstubbed RPC e2e so keygen fits in minutes
+NANO = Spec(name="nano", sync_committee_size=4, slots_per_period=64)
 
-BY_NAME = {"minimal": MINIMAL, "testnet": TESTNET, "mainnet": MAINNET}
+BY_NAME = {"minimal": MINIMAL, "testnet": TESTNET, "mainnet": MAINNET,
+           "nano": NANO}
