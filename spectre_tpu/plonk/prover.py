@@ -796,7 +796,17 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             else num_parts[0]
         dens = jnp.concatenate(den_parts) if len(den_parts) > 1 \
             else den_parts[0]
-        ratios = _ratio_jit()(nums, V.batch_inv_many(dens))
+        # block the inverse+ratio pipeline to the column budget as well —
+        # the elementwise num*den^-1 over the whole ~50-column stack at
+        # k=18 holds several full copies live (the OOM of the first
+        # round-4 testnet prove was here)
+        r_parts = []
+        for off in range(0, nums.shape[0], col_chunk_budget):
+            blk = slice(off, off + col_chunk_budget)
+            r_parts.append(
+                _ratio_jit()(nums[blk], V.batch_inv_many(dens[blk])))
+        ratios = jnp.concatenate(r_parts) if len(r_parts) > 1 \
+            else r_parts[0]
         blinds = [[rand_fr() for _ in range(n_blind)]
                   for _ in range(ratios.shape[0])]
         z_all, lasts = V.grand_product_many(ratios, usable, blinds)

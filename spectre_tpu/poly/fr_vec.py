@@ -433,10 +433,24 @@ def _binv_many_jit(C: int, n: int):
     return pre, combine
 
 
-def batch_inv_many(v):
-    """Elementwise inverse of C stacked nonzero columns (C, NL, n): one
-    device prefix pass, ONE host transfer of the C per-column totals, C
-    host inversions, one combine pass — vs C syncs for C batch_inv calls."""
+def _ones_block(C: int, NLn, n: int):
+    one = jnp.asarray(spec.one_mont, jnp.int32)[None, :, None]
+    return jnp.broadcast_to(one, (C, NLn, n))
+
+
+def _pad_cols_pow2(blk, n):
+    """Pad a (take, NL, n) block with Montgomery-one columns to the next
+    power of two (identity for inverse/grand-product pipelines); returns
+    (padded, take)."""
+    take = blk.shape[0]
+    w = 1 << max(0, (take - 1).bit_length())
+    if take < w:
+        blk = jnp.concatenate(
+            [blk, _ones_block(w - take, blk.shape[1], n)])
+    return blk, take
+
+
+def _batch_inv_block(v):
     C, n = v.shape[0], v.shape[-1]
     pre, combine = _binv_many_jit(C, n)
     P = pre(v)
@@ -444,6 +458,24 @@ def batch_inv_many(v):
     tinvs = [inv_mod(t, FR) for t in totals]
     tinv = jnp.swapaxes(upload_ints(tinvs, C), 0, 1)[:, :, None]
     return combine(v, P, tinv)
+
+
+def batch_inv_many(v):
+    """Elementwise inverse of C stacked nonzero columns (C, NL, n): per
+    block, one device prefix pass, one host transfer of per-column totals,
+    host inversions, one combine pass. Blocks are bounded by col_chunk(n)
+    — the whole-stack prefix/suffix scans cost several live copies per
+    column, and the unsliced version OOM'd the 16 GB chip at k=18 with ~50
+    grand-product columns (round-4 testnet run)."""
+    C, n = v.shape[0], v.shape[-1]
+    B = col_chunk(n)
+    if C <= B:
+        return _batch_inv_block(v)
+    outs = []
+    for off in range(0, C, B):
+        blk, take = _pad_cols_pow2(v[off:off + B], n)
+        outs.append(_batch_inv_block(blk)[:take])
+    return jnp.concatenate(outs)
 
 
 @functools.lru_cache(maxsize=None)
@@ -501,20 +533,35 @@ def grand_product_many(ratios, usable: int, blinds):
     `usable` (canonical ints, ONE transfer). For halo2's cross-chunk
     chaining scale afterwards with grand_product_scale."""
     C, n = ratios.shape[0], ratios.shape[-1]
-    f, _scale = _grand_product_many_jit(C, n, usable)
-    tails = upload_ints_many(
-        [[0] * (usable + 1) + list(b) for b in blinds], n)
-    z, lasts = f(ratios, tails)
-    return z, download_ints(lasts)
+    B = col_chunk(n)
+    zs, lasts = [], []
+    for off in range(0, C, B):
+        blk, take = _pad_cols_pow2(ratios[off:off + B], n)
+        f, _scale = _grand_product_many_jit(blk.shape[0], n, usable)
+        blk_blinds = list(blinds[off:off + take])
+        blk_blinds += [[0] * len(blk_blinds[0])] * (blk.shape[0] - take) \
+            if blk_blinds else []
+        tails = upload_ints_many(
+            [[0] * (usable + 1) + list(b) for b in blk_blinds], n)
+        z, lb = f(blk, tails)
+        zs.append(z[:take])
+        lasts.extend(download_ints(lb)[:take])
+    return (jnp.concatenate(zs) if len(zs) > 1 else zs[0]), lasts
 
 
 def grand_product_scale(z, usable: int, starts):
     """Scale rows <= usable of each Z column by starts[c] (canonical ints);
     blinding rows stay untouched."""
     C, n = z.shape[0], z.shape[-1]
-    _f, scale = _grand_product_many_jit(C, n, usable)
-    s = jnp.swapaxes(upload_ints(list(starts), C), 0, 1)[:, :, None]
-    return scale(z, s)
+    B = col_chunk(n)
+    outs = []
+    for off in range(0, C, B):
+        blk, take = _pad_cols_pow2(z[off:off + B], n)
+        _f, scale = _grand_product_many_jit(blk.shape[0], n, usable)
+        st = list(starts[off:off + take]) + [1] * (blk.shape[0] - take)
+        s_m = jnp.swapaxes(upload_ints(st, len(st)), 0, 1)[:, :, None]
+        outs.append(scale(blk, s_m)[:take])
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 @functools.lru_cache(maxsize=None)
