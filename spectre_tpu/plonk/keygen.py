@@ -125,6 +125,29 @@ class ProvingKey:
             self._dev[("sigma", gi)] = s
             self._dev[("sigma_c", gi)] = c
 
+    def sigma_coeffs_i16(self):
+        """All sigma coefficient columns as ONE int16 (m, NL, n) stack,
+        built in eval->INTT->int16 blocks that are freed as they land.
+
+        The prefill_sigmas path materializes the full eval AND coeff
+        stacks in int32 side by side (2 x 4.3 GB at testnet k=18, on top
+        of the still-live advice/z columns) — that OOM'd the 512-key
+        prove. Never caches per-gi forms; INTT outputs are canonical
+        11-bit limbs so int16 is lossless (the quotient stack format)."""
+        import jax.numpy as jnp
+        from ..poly import fr_vec as V
+        m = len(self.mapping)
+        n = self.vk.n
+        block = max(1, V._NTT_BATCH_ROWS // n)
+        parts = []
+        for off in range(0, m, block):
+            sigs = _sigma_dev_many(
+                self.vk.domain, self.mapping[off:off + block], m)
+            parts.append(V.intt_dev_many(sigs, self.vk.k)
+                         .astype(jnp.int16))
+            del sigs
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
 
 def _sigma_dev(dom: Domain, map_i: np.ndarray, m: int):
     """sigma evals for one permutation column: delta^{ti} * omega^{tj}."""

@@ -898,16 +898,17 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     _reserve(("llast",), _indic([usable]))
     _reserve(("lblind",), _indic(list(range(usable + 1, n))))
 
-    pk.prefill_sigmas()
     n_evalg = len(eval_group)
-    sig_coeffs = [pk.dev_sigma_coeffs(gi) for gi in range(len(perm_cols))]
     for gi in range(len(perm_cols)):
         slot[("sig", gi)] = n_evalg + gi
 
     # free duplicate references to the eval forms FIRST, then transform in
     # column chunks, nulling each chunk's eval forms as its coefficients
     # land — bounds the coexistence of eval + coeff forms to one chunk
-    # (at k=18 the whole-stack version peaked >2x the steady state)
+    # (at k=18 the whole-stack version peaked >2x the steady state).
+    # Sigma evals cached by the ratio phase are dropped here too, BEFORE
+    # the sigma coefficient stack is built (the whole-stack prefill
+    # alongside live advice/z columns OOM'd the 512-key k=18 prove).
     dev_cols.clear()
     pk.drop_eval_forms()
     del z_stack, z_list, z_devs
@@ -927,10 +928,8 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             V.intt_dev_many(jnp.stack(blk), k).astype(jnp.int16))
         for i in range(off, off + len(blk)):
             eval_group[i] = None
-    if sig_coeffs:
-        coeff_parts.append(jnp.stack(sig_coeffs).astype(jnp.int16))
-        sig_coeffs = None
-        pk.drop_sigma_coeffs()
+    if perm_cols:
+        coeff_parts.append(pk.sigma_coeffs_i16())
     all_coeffs = jnp.concatenate(coeff_parts) if len(coeff_parts) > 1 \
         else coeff_parts[0]
     del coeff_parts, eval_group
