@@ -28,6 +28,12 @@ def main():
                     help="measure MULTI-PROCESS (one JAX runtime per "
                          "'host', DCN-analog sockets) scaling instead of "
                          "the in-process device pool")
+    ap.add_argument("--task", default="toy_prove",
+                    choices=["toy_prove", "committee_prove"],
+                    help="hostpool task: k=5 toy or the REAL nano "
+                         "committee circuit (VERDICT r3 next #10)")
+    ap.add_argument("--host-counts", default="1,2,4",
+                    help="comma-separated worker counts for --hosts")
     args = ap.parse_args()
 
     if args.hosts:
@@ -96,19 +102,22 @@ def main_hosts(args):
 
     results = []
     base = None
-    for nh in (1, 2, 4):
+    task = getattr(args, "task", "toy_prove")
+    counts = [int(c) for c in
+              getattr(args, "host_counts", "1,2,4").split(",")]
+    for nh in counts:
         pool = HostPool(nh)
         try:
             # warm every worker's per-process pk/compile caches
-            warm = [pool.submit("toy_prove", {"k": args.k, "x": 1})
+            warm = [pool.submit(task, {"k": args.k, "x": 1, "seed": 42})
                     for _ in range(nh)]
             for j in warm:
-                pool.wait(j, timeout=1200)
+                pool.wait(j, timeout=7200)
             t0 = time.time()
-            jids = [pool.submit("toy_prove", {"k": args.k, "x": x})
+            jids = [pool.submit(task, {"k": args.k, "x": x, "seed": 42})
                     for x in range(1, args.jobs + 1)]
             for j in jids:
-                pool.wait(j, timeout=1200)
+                pool.wait(j, timeout=7200)
             dt = time.time() - t0
         finally:
             pool.stop()
@@ -122,7 +131,7 @@ def main_hosts(args):
             "efficiency": round(thr / base / nh, 3),
         })
     print(json.dumps({"k": args.k, "jobs": args.jobs, "mode": "hosts",
-                      "scaling": results}))
+                      "task": task, "scaling": results}))
     return 0
 
 
