@@ -125,6 +125,31 @@ class ProvingKey:
             self._dev[("sigma", gi)] = s
             self._dev[("sigma_c", gi)] = c
 
+    def sigma_coeffs_i16_host(self):
+        """Host-cached int16 sigma coefficient stack (PROVE-INVARIANT):
+        built once per process in device blocks and reused by every
+        subsequent prove — warm k=18 proves skip all ~170 sigma INTTs,
+        and the 2 GB stack stays out of HBM until the single staged
+        upload of the full quotient stack."""
+        cached = getattr(self, "_sigma_i16_host", None)
+        if cached is not None:
+            return cached
+        import numpy as np
+        import jax.numpy as jnp
+        from ..poly import fr_vec as V
+        m = len(self.mapping)
+        n = self.vk.n
+        block = max(1, V._NTT_BATCH_ROWS // n)
+        out = np.empty((m, V.NL, n), np.int16)
+        for off in range(0, m, block):
+            sigs = _sigma_dev_many(
+                self.vk.domain, self.mapping[off:off + block], m)
+            out[off:off + sigs.shape[0]] = np.asarray(
+                V.intt_dev_many(sigs, self.vk.k).astype(jnp.int16))
+            del sigs
+        self._sigma_i16_host = out
+        return out
+
     def sigma_coeffs_i16(self):
         """All sigma coefficient columns as ONE int16 (m, NL, n) stack,
         built in eval->INTT->int16 blocks that are freed as they land.

@@ -920,19 +920,40 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     # (max 2047), so int16 is lossless and halves at-rest HBM — at testnet
     # k=18 the ~370-column int32 stack alone is 9.2 GB and the quotient
     # needs a same-size sub-coset stack next to it (16 GB chip)
-    coeff_parts = []
     _step = V.col_chunk(n)
-    for off in range(0, n_evalg, _step):
-        blk = eval_group[off:off + _step]
-        coeff_parts.append(
-            V.intt_dev_many(jnp.stack(blk), k).astype(jnp.int16))
-        for i in range(off, off + len(blk)):
-            eval_group[i] = None
-    if perm_cols:
-        coeff_parts.append(pk.sigma_coeffs_i16())
-    all_coeffs = jnp.concatenate(coeff_parts) if len(coeff_parts) > 1 \
-        else coeff_parts[0]
-    del coeff_parts, eval_group
+    _stage_n = int(os.environ.get("SPECTRE_HOST_STAGE_N", str(1 << 17)))
+    if n >= _stage_n:
+        # HOST-STAGED assembly: a device jnp.concatenate of the full stack
+        # doubles peak HBM (parts + result — the 3rd k=18 OOM); stage
+        # chunks through host RAM (125 GB here) and upload the final int16
+        # stack once (~16 s at k=18's 310 MB/s tunnel). Sigma coefficients
+        # come from the PK's prove-invariant host cache.
+        C_total = n_evalg + len(perm_cols)
+        buf = np.empty((C_total, NL, n), np.int16)
+        for off in range(0, n_evalg, _step):
+            blk = eval_group[off:off + _step]
+            part = V.intt_dev_many(jnp.stack(blk), k).astype(jnp.int16)
+            buf[off:off + len(blk)] = np.asarray(part)
+            del part
+            for i in range(off, off + len(blk)):
+                eval_group[i] = None
+        if perm_cols:
+            buf[n_evalg:] = pk.sigma_coeffs_i16_host()
+        all_coeffs = jnp.asarray(buf)
+        del buf, eval_group
+    else:
+        coeff_parts = []
+        for off in range(0, n_evalg, _step):
+            blk = eval_group[off:off + _step]
+            coeff_parts.append(
+                V.intt_dev_many(jnp.stack(blk), k).astype(jnp.int16))
+            for i in range(off, off + len(blk)):
+                eval_group[i] = None
+        if perm_cols:
+            coeff_parts.append(pk.sigma_coeffs_i16())
+        all_coeffs = jnp.concatenate(coeff_parts) if len(coeff_parts) > 1 \
+            else coeff_parts[0]
+        del coeff_parts, eval_group
 
     _cf_cache: Dict = {}
 

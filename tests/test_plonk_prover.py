@@ -171,3 +171,18 @@ def test_keygen_checkpoint_resume(setup, tmp_path):
         pickle.dump({"tag": "bogus", "comms": [all_comms[1]]}, f)
     pk4 = keygen(cs, K, fixed, srs, checkpoint=ckpt)
     assert pk4.vk.fixed_commitments == pk.vk.fixed_commitments
+
+
+def test_host_staged_quotient_stack(setup, monkeypatch):
+    """Force the big-k host-staged coefficient-stack path (the k>=17 OOM
+    fix: chunks round-trip through host RAM, sigma coefficients come from
+    the PK's prove-invariant host cache) and check the proof still
+    verifies — parity with the device-concat path."""
+    cs, srs, pk, advice, instances, _ = setup
+    monkeypatch.setenv("SPECTRE_HOST_STAGE_N", "1")   # always stage
+    proof = create_proof(pk, srs, advice, instances)
+    assert verify_proof(pk.vk, srs, proof, instances)
+    # second prove hits the cached host sigma stack
+    assert getattr(pk, "_sigma_i16_host", None) is not None
+    proof2 = create_proof(pk, srs, advice, instances)
+    assert verify_proof(pk.vk, srs, proof2, instances)
