@@ -20,6 +20,19 @@ _TRACE = os.environ.get("SPECTRE_TRACE", "") not in ("", "0")
 _LAST: Dict[str, dict] = {}
 
 
+def _hbm() -> str:
+    """' [hbm=X.XG]' when the backend reports memory stats (TPU), else ''.
+    Trace-only: one stats call per phase boundary."""
+    try:
+        import jax
+        st = jax.local_devices()[0].memory_stats()
+        if st and "bytes_in_use" in st:
+            return f" [hbm={st['bytes_in_use'] / 1e9:.2f}G]"
+    except Exception:   # noqa: BLE001 — tracing aid only
+        pass
+    return ""
+
+
 class PhaseRecorder:
     def __init__(self, task: str = "task"):
         self.task = task
@@ -33,7 +46,7 @@ class PhaseRecorder:
         self.phases.append((phase, dt))
         if _TRACE:
             print(f"[{self.task} +{now - self.t0:7.1f}s] {phase} "
-                  f"(+{dt:.1f}s)", flush=True)
+                  f"(+{dt:.1f}s){_hbm()}", flush=True)
         log.debug("%s: %s took %.2fs", self.task, phase, dt)
         self.last = now
 

@@ -807,9 +807,13 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
                 _ratio_jit()(nums[blk], V.batch_inv_many(dens[blk])))
         ratios = jnp.concatenate(r_parts) if len(r_parts) > 1 \
             else r_parts[0]
+        # free the ratio pipeline inputs NOW — these locals otherwise live
+        # until function exit (~5 GB of (C, NL, n) stacks at testnet k=18)
+        del nums, dens, num_parts, den_parts, r_parts
         blinds = [[rand_fr() for _ in range(n_blind)]
                   for _ in range(ratios.shape[0])]
         z_all, lasts = V.grand_product_many(ratios, usable, blinds)
+        del ratios
         # halo2 cross-chunk chaining: chunk c starts at prod_{j<c} t_j
         if n_chunks:
             starts = [1]
@@ -818,8 +822,10 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             z_perm = V.grand_product_scale(z_all[:n_chunks], usable, starts)
             z_stack = jnp.concatenate([z_perm, z_all[n_chunks:]]) \
                 if z_all.shape[0] > n_chunks else z_perm
+            del z_perm
         else:
             z_stack = z_all
+        del z_all
         z_list = V.unstack(z_stack)
     else:
         z_stack, z_list = None, []
@@ -937,10 +943,13 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             del part
             for i in range(off, off + len(blk)):
                 eval_group[i] = None
+        tm("  q: eval->coeff chunks staged")
         if perm_cols:
             buf[n_evalg:] = pk.sigma_coeffs_i16_host()
+            tm("  q: sigma host stack")
         all_coeffs = jnp.asarray(buf)
         del buf, eval_group
+        tm("  q: stack uploaded")
     else:
         coeff_parts = []
         for off in range(0, n_evalg, _step):
