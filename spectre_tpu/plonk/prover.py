@@ -147,7 +147,10 @@ def _group_fold(canon_expr: Expr, rot_unit: int, R: int, G: int):
         @jax.jit
         def f(cols, w):  # cols (G, R, NL, n), w (G, NL, 1)
             def one(cg):
-                return eval_expr(canon_expr, cg, spec, rot_unit=rot_unit)
+                # int16-at-rest stacks upcast HERE (fused) — materializing
+                # int32 copies host-side doubled the gate-fold footprint
+                return eval_expr(canon_expr, cg.astype(jnp.int32), spec,
+                                 rot_unit=rot_unit)
             vals = jax.vmap(one)(cols)
             prod = ops.mont_mul(vals, w)
             s = prod.sum(axis=0, dtype=jnp.int32)
@@ -271,8 +274,10 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int,
             continue
         # member chunk scales down with ref count AND row count: the
         # stacked input is (G, R, NL, n_ext) at ~96 B/row (transposed)
-        budget_cols = max(1, (1 << 28) // max(rows * 96, 1))
+        budget_cols = max(1, (1 << 27) // max(rows * 96, 1))
         gw = min(_GROUP_W, max(1, budget_cols // R))
+        gw = 1 << (gw.bit_length() - 1)   # pow2: padding G past the
+        # budget defeated it (a block of 5 padded to G=8)
         for off in range(0, len(members), gw):
             blk = members[off:off + gw]
             G = 1 << max(0, (len(blk) - 1).bit_length())
@@ -988,6 +993,10 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             # int16 at rest -> int32 transient per consumer
             return _sc[slot[("col", gidx)]].astype(jnp.int32)
 
+        def get_col16(gidx, _sc=sub_cols):
+            # raw int16 slice for the gate fold (upcast fused inside jit)
+            return _sc[slot[("col", gidx)]]
+
         def sc(key, _sc=sub_cols):
             return _sc[slot[key]].astype(jnp.int32)
 
@@ -1002,7 +1011,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         # straight from the sub-coset stack)
         _gate_polys = [p for g in cs.gates for p in g.polys]
         acc = _fold_gate_polys(
-            acc, _gate_polys, get_col, y, 1, vm_stack=sub_all,
+            acc, _gate_polys, get_col16, y, 1, vm_stack=sub_all,
             vm_col_pos=lambda g: slot[("col", g)])
 
         # permutation constraints
