@@ -269,7 +269,12 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int,
         R = max(1, len(members[0][1]))
         rows = int(get_col(members[0][1][0]).shape[-1]) if members[0][1] \
             else 0
-        if R > _COMPILE_MAX_REFS or _expr_nodes(canon) > 1500:
+        # big domains compile big programs: at 2^18 rows the remote
+        # compile helper dies on wide gate graphs, so the one-program
+        # threshold tightens and everything above it rides the tape VM
+        max_refs = _COMPILE_MAX_REFS if rows < (1 << 17) else 12
+        max_nodes = 1500 if rows < (1 << 17) else 400
+        if R > max_refs or _expr_nodes(canon) > max_nodes:
             vm_members.extend(members)
             continue
         # member chunk scales down with ref count AND row count: the
@@ -278,6 +283,7 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int,
         gw = min(_GROUP_W, max(1, budget_cols // R))
         gw = 1 << (gw.bit_length() - 1)   # pow2: padding G past the
         # budget defeated it (a block of 5 padded to G=8)
+        failed = False
         for off in range(0, len(members), gw):
             blk = members[off:off + gw]
             G = 1 << max(0, (len(blk) - 1).bit_length())
@@ -290,10 +296,18 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int,
             while len(cols) < G:
                 cols.append(jnp.zeros_like(cols[0]))
                 ws.append(spec.encode(0)[:, None])
-            part = _group_fold(canon, rot_unit, R, G)(
-                jnp.stack(cols), jnp.asarray(np.stack(ws)))
+            try:
+                part = _group_fold(canon, rot_unit, R, G)(
+                    jnp.stack(cols), jnp.asarray(np.stack(ws)))
+            except Exception:   # noqa: BLE001 — remote compile helper
+                # crash (HTTP 500 / RESOURCE_EXHAUSTED): fall back to the
+                # tape VM for this structural group instead of dying
+                vm_members.extend(members[off:])
+                failed = True
+                break
             total = part if total is None else V._add_fold_jit()(
                 total, part)
+        del failed
     if vm_members:
         from .tapevm import GateTape
         n_rows = int(get_col(vm_members[0][1][0]).shape[-1])
