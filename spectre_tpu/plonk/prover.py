@@ -1080,6 +1080,12 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         zh_j = (pow(COSET_SHIFT, n, FR) * pow(w_ext, n * j, FR) - 1) % FR
         h_subs.append(V.scalar_mul(acc, inv_mod(zh_j, FR)))
 
+    # the LAST iteration's sub-coset stack and its closures survive the
+    # loop (sub_cols slices + the get_col/sc captures) — ~5 GB at k=18;
+    # free them before assembling h
+    del sub_all, sub_cols, get_col, get_col16, sc
+    del l0, llast, lblind, lactive, acc
+
     # interleave: position p = i*f_ext + j holds sub-coset j row i
     h_evals = jnp.stack(h_subs, axis=-1).reshape(NL, n_ext)
     h_coeffs = V.coset_intt(h_evals, ext_k, COSET_SHIFT)
