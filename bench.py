@@ -85,37 +85,94 @@ def bench_ntt():
     }
 
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_STAMP = os.path.join(_REPO, "build", "pallas_parity_stamp.json")
+
+
+def _pallas_code_key():
+    """Content hash of the pallas commit path — the preflight stamp key.
+
+    A recorded parity pass stays valid until one of these files changes,
+    so the scored bench run doesn't re-pay a cold sanity compile
+    (round 4's bench lost its driver window to exactly that: a 575 s
+    cold preflight, BENCH_r04 rc=124)."""
+    import hashlib
+    h = hashlib.sha256()
+    for rel in ("spectre_tpu/fields/pallas_ops.py",
+                "spectre_tpu/poly/msm_pippenger.py",
+                "spectre_tpu/curves/limbjax.py"):
+        with open(os.path.join(_REPO, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _preflight_pallas(env, deadline_s):
+    """Gate the pallas commit path behind a parity check, cached by code
+    hash. Full cost only on first run after a kernel edit; afterwards
+    it's a file read. On failure/timeout -> bit-identical XLA fallback."""
+    import subprocess
+    key = _pallas_code_key()
+    try:
+        with open(_STAMP) as f:
+            if json.load(f).get("key") == key:
+                return  # parity already proven for this exact code
+    except Exception:
+        pass
+    ok = False
+    try:
+        pf = subprocess.run(
+            [sys.executable, "-u", "scripts/tpu_sanity.py",
+             "--n", "1024", "--cols", "2", "--skip-off"],
+            capture_output=True, text=True, cwd=_REPO,
+            timeout=max(120, min(900, deadline_s)))
+        ok = '"parity_ok": true' in pf.stdout
+    except Exception:
+        ok = False
+    if ok:
+        try:
+            os.makedirs(os.path.dirname(_STAMP), exist_ok=True)
+            with open(_STAMP, "w") as f:
+                json.dump({"key": key, "ts": time.time()}, f)
+        except Exception:
+            pass
+    else:
+        env["SPECTRE_PALLAS_MSM"] = "0"
+        print("# pallas MSM preflight failed — XLA fallback",
+              file=sys.stderr, flush=True)
+
+
 def bench_prove():
     """Committee-update nano/k=13 WARM prove wall-clock (verified): the
     second same-process prove, i.e. the RPC server's steady state after
     ProverState preload. Baseline: halo2 create_proof for an equivalent
     37k-cell k=13 circuit on the 64-core reference host, estimated ~10 s
-    (the reference publishes no numbers; BASELINE.md)."""
+    (the reference publishes no numbers; BASELINE.md).
+
+    Internal deadline (SPECTRE_BENCH_DEADLINE_S, default 1500 s): the
+    prove subprocess gets the remaining budget; if it can't land a
+    verified number in time we fall back to the NTT metric rather than
+    letting the driver clock expire with NO output (VERDICT r4 next #1).
+    """
     import subprocess
+    t_begin = time.time()
+    deadline = float(os.environ.get("SPECTRE_BENCH_DEADLINE_S", "1500"))
     env = dict(os.environ)
-    # preflight: the commit path rides pallas fused kernels (round 4);
-    # a 2-minute parity check gates the scored run — on any failure the
-    # prove falls back to the bit-identical XLA combine
     if env.get("SPECTRE_PALLAS_MSM") != "0":
-        try:
-            pf = subprocess.run(
-                [sys.executable, "-u", "scripts/tpu_sanity.py",
-                 "--n", "1024", "--cols", "2"],
-                capture_output=True, text=True, timeout=1200)
-            ok = '"parity_ok": true' in pf.stdout
-        except Exception:
-            ok = False
-        if not ok:
-            env["SPECTRE_PALLAS_MSM"] = "0"
-            print("# pallas MSM preflight failed — XLA fallback",
-                  file=sys.stderr, flush=True)
-    r = subprocess.run(
-        [sys.executable, "-u", "scripts/prove_committee.py",
-         "--spec", "nano", "--k", "13", "--repeat", "2"],
-        capture_output=True, text=True, timeout=5200, env=env)
-    line = [l for l in r.stdout.splitlines() if l.startswith("{")]
-    d = json.loads(line[-1])
-    assert d["verified"]
+        _preflight_pallas(env, deadline_s=deadline * 0.4)
+    remain = deadline - (time.time() - t_begin) - 30
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", "scripts/prove_committee.py",
+             "--spec", "nano", "--k", "13", "--repeat", "2"],
+            capture_output=True, text=True, cwd=_REPO,
+            timeout=max(300, remain), env=env)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        d = json.loads(line[-1])
+        assert d["verified"]
+    except Exception as e:
+        print(f"# prove bench missed the deadline ({e!r}) — "
+              "reporting NTT metric instead", file=sys.stderr, flush=True)
+        return bench_ntt()
     warm = d.get("prove_s_all", [d["prove_s"]])[-1]
     return {
         "metric": "committee_update_nano_k13_prove_warm",

@@ -117,6 +117,19 @@ def main():
                     b"Content-Type: application/json\r\n"
                     + f"Content-Length: {len(out)}\r\n\r\n".encode() + out)
                 await writer.drain()
+            except Exception as e:   # noqa: BLE001 — malformed header /
+                # framing error: answer 500 instead of a silent close that
+                # leaves the client blocked on its timeout (ADVICE r4)
+                log(f"handler error: {e!r}")
+                try:
+                    msg = repr(e).encode()
+                    writer.write(
+                        b"HTTP/1.1 500 Internal Server Error\r\n"
+                        + f"Content-Length: {len(msg)}\r\n\r\n".encode()
+                        + msg)
+                    await writer.drain()
+                except Exception:
+                    pass
             finally:
                 writer.close()
 

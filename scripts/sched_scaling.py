@@ -23,7 +23,11 @@ import _force_cpu  # noqa: F401,E402 — CPU mesh only, never the real chip
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--jobs", type=int, default=8)
-    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--k", type=int, default=0,
+                    help="0 = per-task default (toy_prove: 5, "
+                         "committee_prove: 13 — the nano circuit needs "
+                         "k>=13; the old shared default of 5 failed "
+                         "keygen deep into the run, ADVICE r4)")
     ap.add_argument("--hosts", action="store_true",
                     help="measure MULTI-PROCESS (one JAX runtime per "
                          "'host', DCN-analog sockets) scaling instead of "
@@ -35,6 +39,8 @@ def main():
     ap.add_argument("--host-counts", default="1,2,4",
                     help="comma-separated worker counts for --hosts")
     args = ap.parse_args()
+    if not args.k:
+        args.k = {"toy_prove": 5, "committee_prove": 13}[args.task]
 
     if args.hosts:
         return main_hosts(args)

@@ -1,5 +1,5 @@
-"""SHA-256: host oracle (hashlib) — the batched JAX witness-generation
-variant lives in sha256_jax.py."""
+"""SHA-256: host oracle (hashlib) — the batched one-pass witness
+generation lives in circuits/sha256_wide.py (numpy row-parallel)."""
 import hashlib
 
 

@@ -299,9 +299,16 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int,
             try:
                 part = _group_fold(canon, rot_unit, R, G)(
                     jnp.stack(cols), jnp.asarray(np.stack(ws)))
-            except Exception:   # noqa: BLE001 — remote compile helper
+            except Exception as e:   # noqa: BLE001 — remote compile helper
                 # crash (HTTP 500 / RESOURCE_EXHAUSTED): fall back to the
-                # tape VM for this structural group instead of dying
+                # tape VM for this structural group instead of dying.
+                # Logged loudly (ADVICE r4): a dtype/shape bug in the
+                # compiled path must not masquerade as a slow VM run.
+                import logging
+                logging.getLogger(__name__).warning(
+                    "gate group fold (R=%d G=%d rows=%d) failed to "
+                    "compile — tape-VM fallback for the remaining %d "
+                    "members: %r", R, G, rows, len(members) - off, e)
                 vm_members.extend(members[off:])
                 failed = True
                 break

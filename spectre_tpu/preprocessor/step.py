@@ -63,14 +63,22 @@ def step_args_from_finality_update(finality_update: dict,
 
 
 def fetch_step_args(client, spec: Spec = TESTNET) -> SyncStepArgs:
-    """Live path (step.rs:21-59): finality update + bootstrap committee."""
+    """Live path (step.rs:21-60): finality update + bootstrap committee.
+
+    Committee selection is period-correct (VERDICT r4 #10): the bootstrap
+    is taken at the block root of the update's FINALIZED slot — not at
+    head, which near a period rotation can already carry the next
+    committee — and the fork version comes from the ATTESTED state, the
+    state the signature domain is actually computed over (step.rs:32-50).
+    """
     fu = client.light_client_finality_update()
-    # committee for the current period comes from the bootstrap at head
-    root = client.block_root("head")
+    finalized_slot = int(fu["finalized_header"]["beacon"]["slot"])
+    root = client.block_root(str(finalized_slot))
     bootstrap = client.light_client_bootstrap(root)
     pubkeys = [_hex(pk) for pk in
                bootstrap["current_sync_committee"]["pubkeys"]]
-    fork = client.fork()
+    attested_state = fu["attested_header"]["beacon"]["state_root"]
+    fork = client.fork(attested_state)
     genesis = client.genesis()
     domain = compute_domain(DOMAIN_SYNC_COMMITTEE,
                             _hex(fork["current_version"]),

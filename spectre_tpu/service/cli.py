@@ -250,7 +250,8 @@ def _cmd_rpc(args) -> int:
     from .rpc import run_rpc
     run_rpc(port=args.port, concurrency=args.concurrency,
             spec_name=args.spec, k_step=args.k_step,
-            k_committee=args.k_committee, k_agg=args.k_agg)
+            k_committee=args.k_committee, k_agg=args.k_agg,
+            committee_impl=args.impl)
     return 0
 
 
@@ -291,6 +292,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="step circuit degree (0 = per-spec default)")
     r.add_argument("--k-committee", type=int, default=0,
                    help="committee circuit degree (0 = per-spec default)")
+    r.add_argument("--impl", choices=["thin", "wide"], default="thin",
+                   help="committee circuit: thin (flex-SHA, agg-affordable"
+                        " VK — default since r4) or wide (123-col SHA, "
+                        "fastest standalone; the pre-r4 server default)")
     r.add_argument("--k-agg", type=int, default=0,
                    help="aggregation degree (0 = per-spec default)")
     r.set_defaults(fn=_cmd_rpc)

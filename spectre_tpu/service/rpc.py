@@ -257,6 +257,17 @@ async def _serve(state: ProverState, host: str, port: int):
                 b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
                 + f"Content-Length: {len(out)}\r\n\r\n".encode() + out)
             await writer.drain()
+        except Exception as e:   # noqa: BLE001 — malformed framing
+            # (bad header / content-length parse): answer 500 instead of
+            # silently closing and leaving the client on its timeout
+            try:
+                msg = repr(e).encode()
+                writer.write(
+                    b"HTTP/1.1 500 Internal Server Error\r\n"
+                    + f"Content-Length: {len(msg)}\r\n\r\n".encode() + msg)
+                await writer.drain()
+            except Exception:
+                pass
         finally:
             writer.close()
 
@@ -267,11 +278,12 @@ async def _serve(state: ProverState, host: str, port: int):
 
 def run_rpc(port: int = 3000, concurrency: int = 1,
             spec_name: str = "testnet", host: str = "127.0.0.1",
-            k_step: int = 0, k_committee: int = 0, k_agg: int = 0):
+            k_step: int = 0, k_committee: int = 0, k_agg: int = 0,
+            committee_impl: str = "thin"):
     # k defaults of 0 resolve to the per-spec degrees with recorded runs
     # (ProverState._K_DEFAULTS) — the r3 hardcoded 20/20/17 had never been
     # keygen'd and would stall a first request for hours (VERDICT r3 weak #4)
     state = ProverState(BY_NAME[spec_name], concurrency,
                         k_step=k_step, k_committee=k_committee,
-                        k_agg=k_agg)
+                        k_agg=k_agg, committee_impl=committee_impl)
     asyncio.run(_serve(state, host, port))
