@@ -152,8 +152,23 @@ class AppCircuit:
                          style: str = "looped") -> bytes:
         """EVM verifier bytecode for this circuit's VK
         (gen_evm_verifier_shplonk analog, util/circuit.rs:182-194).
-        style: 'looped' (deployable data-driven codegen, the default) or
+        style: 'looped' (data-driven codegen, one blob, the default),
+        'deployable' (EIP-170 split: code + external data contracts,
+        the on-chain artifact — writes path + path.dataN alongside), or
         'straight' (fully unrolled; cross-check oracle)."""
+        if style == "deployable":
+            from ..evm.verifier_loop import gen_evm_verifier_deployable
+            dep = gen_evm_verifier_deployable(
+                pk.vk, srs, list(inst_shape),
+                accumulator_indices=accumulator_indices)
+            if path:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                with open(path, "wb") as f:
+                    f.write(dep.code)
+                for i, dc in enumerate(dep.data_contracts):
+                    with open(f"{path}.data{i}", "wb") as f:
+                        f.write(dc)
+            return dep
         if style == "looped":
             from ..evm.verifier_loop import (
                 gen_evm_verifier_looped as gen_evm_verifier)

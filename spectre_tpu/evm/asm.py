@@ -20,6 +20,7 @@ OPS = {
     "ADDRESS": 0x30, "BALANCE": 0x31, "ORIGIN": 0x32, "CALLER": 0x33,
     "CALLVALUE": 0x34, "CALLDATALOAD": 0x35, "CALLDATASIZE": 0x36,
     "CALLDATACOPY": 0x37, "CODESIZE": 0x38, "CODECOPY": 0x39,
+    "EXTCODESIZE": 0x3B, "EXTCODECOPY": 0x3C,
     "RETURNDATASIZE": 0x3D, "RETURNDATACOPY": 0x3E,
     "POP": 0x50, "MLOAD": 0x51, "MSTORE": 0x52, "MSTORE8": 0x53,
     "SLOAD": 0x54, "SSTORE": 0x55, "JUMP": 0x56, "JUMPI": 0x57,

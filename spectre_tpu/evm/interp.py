@@ -156,7 +156,8 @@ def _precompile(addr: int, data: bytes):
 
 GAS = {}
 for _ops, _g in (
-    (("STOP", "RETURN", "REVERT"), 0),
+    (("STOP", "RETURN", "REVERT",
+      "EXTCODESIZE", "EXTCODECOPY"), 0),   # ext ops priced at use site
     (("JUMPDEST",), 1),
     (("ADDRESS", "ORIGIN", "CALLER", "CALLVALUE", "CALLDATASIZE", "PC",
       "MSIZE", "GAS", "RETURNDATASIZE", "POP", "PUSH0"), 2),
@@ -214,6 +215,7 @@ def execute(code: bytes, calldata: bytes = b"",
     storage = (world.accounts[address]["storage"]
                if world is not None and address in world.accounts else {})
     returndata = b""
+    warm_addrs = {address, caller}   # EIP-2929 accessed-address set
     pc = 0
     gas = (0 if _depth else
            21000 + sum(16 if b else 4 for b in calldata))  # intrinsic
@@ -327,6 +329,22 @@ def execute(code: bytes, calldata: bytes = b"",
                 gas += 3 * ((size + 31) // 32)
             elif name == "CODESIZE":
                 stack.append(len(code))
+            elif name == "EXTCODESIZE":
+                a_ = pop() & ((1 << 160) - 1)
+                gas += 100 if a_ in warm_addrs else 2600  # EIP-2929
+                warm_addrs.add(a_)
+                acct_ = world.accounts.get(a_) if world else None
+                stack.append(len(acct_["code"]) if acct_ else 0)
+            elif name == "EXTCODECOPY":
+                a_ = pop() & ((1 << 160) - 1)
+                doff, soff, size = pop(), pop(), pop()
+                gas += 100 if a_ in warm_addrs else 2600  # EIP-2929
+                warm_addrs.add(a_)
+                acct_ = world.accounts.get(a_) if world else None
+                src = acct_["code"] if acct_ else b""
+                gas += mem.store_bytes(
+                    doff, src[soff:soff + size].ljust(size, b"\x00"))
+                gas += 3 * ((size + 31) // 32)
             elif name == "MLOAD":
                 v, g = mem.load(pop())
                 gas += g

@@ -57,6 +57,19 @@ OP_ADD = 2
 OP_MUL = 3
 OP_FOLD = 4         # folded = folded*y + pop
 
+# EIP-170 deployed-code cap; data contracts carry a 1-byte 0x00 guard
+# (so they can't be executed as a no-op success) + payload
+EIP170_MAX = 24_576
+MAX_DATA_BYTES = EIP170_MAX - 1
+
+
+def _placeholder_addr(idx: int) -> int:
+    """Deterministic 20-byte link placeholder for data contract #idx
+    (solc library link-reference analog); top byte nonzero so the
+    auto-sizing push always emits PUSH20."""
+    base = int.from_bytes(b"\xd0" + b"\xda" * 17 + b"\xc0\x00", "big")
+    return base + idx
+
 
 class _LoopGen(_Gen):
     """Loop-emitting generation pass. Inherits all scalar/EC/transcript
@@ -360,10 +373,17 @@ class _LoopGen(_Gen):
 
 def _generate_loop(vk: VerifyingKey, srs, inst_shape: List[int], tb: int,
                    acc_indices=None, data_base: int = 1 << 22,
-                   data_len: int = 0, debug_return=None) -> _LoopGen:
+                   data_len: int = 0, debug_return=None,
+                   ext_data: bool = False) -> _LoopGen:
     """data_len: total data-segment length (0 on the counting pass; the
     real value — which is pass-stable because every table entry is
-    fixed-width — on the emission pass)."""
+    fixed-width — on the emission pass).
+
+    ext_data: load the data segment from EXTERNAL data contracts
+    (EXTCODECOPY from placeholder PUSH20 addresses, patched at link time)
+    instead of appending it to this contract's code — the EIP-170 split
+    (VERDICT r4 next #5): verifier code alone fits the 24,576-byte deploy
+    cap; tables ride separate <=24,576-byte data contracts."""
     cs = vk.cs
     dom = vk.domain
     n = vk.n
@@ -387,11 +407,25 @@ def _generate_loop(vk: VerifyingKey, srs, inst_shape: List[int], tb: int,
     a.push(FR).push(FR_ADDR).op("MSTORE")
     a.push(FQ).push(FQ_ADDR).op("MSTORE")
 
-    # CODECOPY the whole data segment (constant tables + tapes) up front
+    # load the data segment (constant tables + tapes) up front
     data_label = a.new_label("data")
-    a.push(data_len)
-    a.push_label(data_label)
-    a.push(data_base).op("CODECOPY")
+    g.ext_data = ext_data
+    if ext_data and data_len:
+        off = 0
+        idx = 0
+        while off < data_len:
+            ln = min(data_len - off, MAX_DATA_BYTES)
+            a.push(ln)                       # length
+            a.push(1)                        # src offset (skip 0x00 guard)
+            a.push(data_base + off)          # destOffset
+            a.push(_placeholder_addr(idx))   # PUSH20, patched by link()
+            a.op("EXTCODECOPY")
+            off += ln
+            idx += 1
+    else:
+        a.push(data_len)
+        a.push_label(data_label)
+        a.push(data_base).op("CODECOPY")
 
     # ---- absorb instances: loop over all instance words ----
     n_inst = sum(inst_shape)
@@ -1205,9 +1239,11 @@ def _generate_loop(vk: VerifyingKey, srs, inst_shape: List[int], tb: int,
     a.push(1).push(0).op("MSTORE")
     a.push(32).push(0).op("RETURN")
 
-    # append the data segment (constant tables + tapes) after the code
+    # append the data segment (constant tables + tapes) after the code —
+    # unless it ships in external data contracts (ext_data)
     a.mark_data(data_label)
-    a.raw(bytes(g.data))
+    if not ext_data:
+        a.raw(bytes(g.data))
     return g
 
 
@@ -1227,3 +1263,64 @@ def gen_evm_verifier_looped(vk: VerifyingKey, srs, inst_shape: List[int],
     assert g2_.n_slots == g1.n_slots
     assert len(g2_.data) == len(g1.data)
     return g2_.a.assemble()
+
+
+class DeployableVerifier:
+    """EIP-170-splittable verifier: code (placeholder-linked) + external
+    data contracts. The reference deploys snark-verifier contracts via
+    forge (prover/src/cli.rs:244-271); deployed code is capped at
+    24,576 bytes, so the constant tables + gate tapes ship as separate
+    0x00-guarded data contracts loaded with EXTCODECOPY at runtime."""
+
+    def __init__(self, code: bytes, data_contracts: List[bytes]):
+        self.code = code                      # unlinked runtime code
+        self.data_contracts = data_contracts  # runtime code, 0x00 + payload
+
+    def link(self, addresses: List[int]) -> bytes:
+        """Patch the placeholder PUSH20s with the deployed data-contract
+        addresses (in chunk order). Returns deployable runtime code."""
+        assert len(addresses) == len(self.data_contracts)
+        out = bytearray(self.code)
+        for i, addr in enumerate(addresses):
+            pat = _placeholder_addr(i).to_bytes(20, "big")
+            pos = bytes(out).find(pat)
+            assert pos >= 0, f"placeholder {i} not found"
+            out[pos:pos + 20] = int(addr).to_bytes(20, "big")
+        return bytes(out)
+
+    def deploy(self, world, base_address: int) -> int:
+        """Deploy data contracts at base_address+1.. and the linked
+        verifier at base_address on the in-repo EVM. Returns the
+        verifier address."""
+        addrs = []
+        for i, dc in enumerate(self.data_contracts):
+            world.deploy(base_address + 1 + i, dc)
+            addrs.append(base_address + 1 + i)
+        world.deploy(base_address, self.link(addrs))
+        return base_address
+
+
+def gen_evm_verifier_deployable(vk: VerifyingKey, srs,
+                                inst_shape: List[int],
+                                accumulator_indices=None
+                                ) -> DeployableVerifier:
+    """Same verification algorithm/calldata ABI as the looped generator,
+    but EIP-170 deployable: the returned code holds only the program
+    (placeholder data-contract addresses, patched by .link()); tables
+    ship in <=24,576-byte data contracts."""
+    g1 = _generate_loop(vk, srs, inst_shape, tb=1 << 22,
+                        acc_indices=accumulator_indices,
+                        data_base=1 << 21)
+    slot_end = LOOP_SLOT_BASE + 32 * g1.n_slots
+    data_base = (slot_end + 31) & ~31
+    tb = data_base + ((len(g1.data) + 31) & ~31)
+    g2_ = _generate_loop(vk, srs, inst_shape, tb=tb,
+                         acc_indices=accumulator_indices,
+                         data_base=data_base, data_len=len(g1.data),
+                         ext_data=True)
+    assert g2_.n_slots == g1.n_slots
+    assert len(g2_.data) == len(g1.data)
+    data = bytes(g2_.data)
+    chunks = [b"\x00" + data[off:off + MAX_DATA_BYTES]
+              for off in range(0, len(data), MAX_DATA_BYTES)]
+    return DeployableVerifier(g2_.a.assemble(), chunks)

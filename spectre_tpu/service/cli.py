@@ -216,13 +216,24 @@ def _cmd_circuit(args) -> int:
         inst_shape = [len(c) for c in builder.instances()]
         out_path = args.out or os.path.join(
             args.build_dir, f"{args.proof}_{args.spec}_verifier.bin")
+        style = "deployable" if args.deployable else "looped"
         code = cls_.gen_evm_verifier(pk, srs, inst_shape, path=out_path,
-                                     accumulator_indices=acc)
-        out = {
-            "status": "ok", "verifier": out_path,
-            "bytecode_bytes": len(code),
-            "inst_shape": inst_shape,
-        }
+                                     accumulator_indices=acc, style=style)
+        if args.deployable:
+            out = {
+                "status": "ok", "verifier": out_path,
+                "bytecode_bytes": len(code.code),
+                "data_contracts": [len(d) for d in code.data_contracts],
+                "eip170_ok": len(code.code) <= 24576 and all(
+                    len(d) <= 24576 for d in code.data_contracts),
+                "inst_shape": inst_shape,
+            }
+        else:
+            out = {
+                "status": "ok", "verifier": out_path,
+                "bytecode_bytes": len(code),
+                "inst_shape": inst_shape,
+            }
         if args.estimate_gas:
             # prove the dummy witness and run the verifier in the in-process
             # EVM to report gas (cli.rs:259-268 --estimate-gas analog)
@@ -231,7 +242,18 @@ def _cmd_circuit(args) -> int:
             else:
                 proof, instances = cls_.gen_evm_proof(
                     pk, spec, srs, cls_.default_witness(spec))
-            ok, gas = cls_.evm_verify(code, instances, proof)
+            if args.deployable:
+                from ..evm.interp import World
+                from ..evm.calldata import encode_calldata
+                world = World()
+                addr = code.deploy(world, 0x1000)
+                res = world.call(addr,
+                                 encode_calldata(instances, proof.data))
+                ok = res.success and res.returndata == (1).to_bytes(
+                    32, "big")
+                gas = res.gas_used
+            else:
+                ok, gas = cls_.evm_verify(code, instances, proof)
             out.update(evm_ok=bool(ok), gas=gas)
             if not ok:
                 # the reference cli.rs propagates a verify failure as an
@@ -272,6 +294,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--build-dir", default="./build")
     c.add_argument("--witness", help="witness JSON (default: dummy witness)")
     c.add_argument("--out", help="write raw proof bytes here")
+    c.add_argument("--deployable", action="store_true",
+                   help="gen-verifier: emit the EIP-170 split artifact "
+                        "(verifier code + 0x00-guarded data contracts, "
+                        "EXTCODECOPY-linked) instead of one blob")
     c.add_argument("--estimate-gas", action="store_true",
                    help="gen-verifier: prove the dummy witness and report "
                         "in-process EVM verify gas (cli.rs:259-268)")

@@ -140,3 +140,44 @@ def test_looped_evm_verifier_accepts_and_rejects(toy):
         bad[off] ^= 1
         assert not execute(
             looped, encode_calldata(instances, bytes(bad))).success
+
+
+def test_deployable_evm_verifier_split(toy):
+    """EIP-170 split (VERDICT r4 next #5): verifier code under the
+    24,576-byte deploy cap, constant tables in 0x00-guarded data
+    contracts loaded via EXTCODECOPY; accept/reject identical to the
+    single-blob looped verifier."""
+    from spectre_tpu.evm.interp import World
+    from spectre_tpu.evm.verifier_loop import (EIP170_MAX,
+                                               gen_evm_verifier_deployable,
+                                               gen_evm_verifier_looped)
+    pk, srs, proof, instances = toy
+    shape = [len(c) for c in instances]
+    dep = gen_evm_verifier_deployable(pk.vk, srs, shape)
+    assert len(dep.code) <= EIP170_MAX, len(dep.code)
+    for dc in dep.data_contracts:
+        assert len(dc) <= EIP170_MAX
+        assert dc[0] == 0  # execution guard
+    # data split must carry exactly the looped blob's data segment
+    looped = gen_evm_verifier_looped(pk.vk, srs, shape)
+    data = b"".join(dc[1:] for dc in dep.data_contracts)
+    assert looped.endswith(data)
+
+    world = World()
+    addr = dep.deploy(world, 0x1000)
+    cd = encode_calldata(instances, proof.data)
+    r = world.call(addr, cd)
+    assert r.success, f"deployable EVM verify failed: {r.error}"
+    assert int.from_bytes(r.returndata, "big") == 1
+    # gas parity with the single-blob verifier (allow the EXTCODECOPY
+    # cold-access + copy overhead, a few thousand gas)
+    r_blob = execute(looped, cd)
+    assert abs(r.gas_used - r_blob.gas_used) < 20_000
+
+    bad_inst = [[(v + 1) % FR for v in instances[0]]]
+    assert not world.call(addr, encode_calldata(bad_inst,
+                                                proof.data)).success
+    bad = bytearray(proof.data)
+    bad[-40] ^= 1
+    assert not world.call(addr, encode_calldata(instances,
+                                                bytes(bad))).success
