@@ -85,10 +85,24 @@ class AppCircuit:
                   pinning_path: Optional[str] = None,
                   witness=None) -> ProvingKey:
         """Keygen with PK caching: an existing pk file is reused and the
-        pinning left untouched (util/circuit.rs:119-137)."""
+        pinning left untouched (util/circuit.rs:119-137) — unless the
+        pinning file is missing entirely, in which case the layout is
+        compiled and frozen so pre-pinning PK caches gain their pinning
+        on next use (VERDICT r4 next #8)."""
         if pk_path and os.path.exists(pk_path):
             with open(pk_path, "rb") as f:
-                return pickle.load(f)
+                pk = pickle.load(f)
+            if pinning_path and not os.path.exists(pinning_path):
+                witness = (witness if witness is not None
+                           else cls.default_witness(spec))
+                builder = cls.build(witness, spec)
+                builder.compile(k)
+                Pinning.from_layout(
+                    builder.last_layout,
+                    meta={"circuit": cls.__name__,
+                          "spec": getattr(spec, "name", "")},
+                ).write(pinning_path)
+            return pk
         witness = witness if witness is not None else cls.default_witness(spec)
         builder = cls.build(witness, spec)
         cs, fixed, _, _ = builder.compile(k)

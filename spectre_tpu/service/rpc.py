@@ -39,6 +39,7 @@ class ProverState:
     k_committee: int = 0     # actually been keygen'd/proven; the r3
     k_agg: int = 0           # defaults of 20/20/17 were fiction)
     build_dir: str = "./build"
+    config_dir: str = "./config"
     committee_impl: str = "thin"   # "thin" (flex-SHA, few-poly VK — the
     # aggregation-affordable inner; analog of the reference's few-column
     # high-k prod pinnings) or "wide" (123-column SHA region, fastest as a
@@ -92,8 +93,9 @@ class ProverState:
             cls = self._circuit(kind)
             pk_path = os.path.join(
                 self.build_dir, f"{self._pk_stem(kind)}_pk.pkl")
-            self._pks[kind] = cls.create_pk(self.spec, k, self.srs(k),
-                                            pk_path=pk_path)
+            self._pks[kind] = cls.create_pk(
+                self.spec, k, self.srs(k), pk_path=pk_path,
+                pinning_path=self.pin_path(kind))
         return self._pks[kind]
 
     def _pk_stem(self, kind: str) -> str:
@@ -101,6 +103,30 @@ class ProverState:
         if kind == "committee" and self.committee_impl == "thin":
             stem += "_thin"
         return stem
+
+    def pin_path(self, kind: str, agg: bool = False) -> str:
+        """Pinning JSON path: app circuits freeze as
+        {committee_update|sync_step}[_thin]_{spec}.json; aggregation
+        stages as {..}_verifier_{spec}.json — the analog of the
+        reference's sync_step_verifier_testnet.json /
+        committee_update_verifier_24.json (VERDICT r4 next #8)."""
+        import os
+        stem = ("committee_update" if kind == "committee"
+                else "sync_step")
+        if agg:
+            name = f"{stem}_verifier_{self.spec.name}.json"
+        else:
+            thin = kind == "committee" and self.committee_impl == "thin"
+            name = f"{stem}{'_thin' if thin else ''}_{self.spec.name}.json"
+        return os.path.join(self.config_dir, name)
+
+    def pinning(self, kind: str, agg: bool = False):
+        """Loaded pinning if frozen on disk, else None (first keygen of a
+        shape writes it)."""
+        import os
+        from ..circuits.app import Pinning
+        p = self.pin_path(kind, agg)
+        return Pinning.from_path(p) if os.path.exists(p) else None
 
     def agg_pk(self, kind: str):
         """Aggregation PK for the given app circuit, keygen'd from a dummy
@@ -119,7 +145,8 @@ class ProverState:
                 self.build_dir, f"{self._pk_stem(kind)}_agg_pk.pkl")
             self._pks[key] = AggregationCircuit.create_pk(
                 self.spec, self.k_agg, self.srs(self.k_agg),
-                pk_path=agg_path, witness=dummy)
+                pk_path=agg_path, witness=dummy,
+                pinning_path=self.pin_path(kind, agg=True))
         return self._pks[key]
 
     def _circuit(self, kind: str):
@@ -146,7 +173,8 @@ async def _handle(state: ProverState, method: str, params) -> dict:
         cls = state._circuit(kind)
         pk = state.pk(kind)
         k = state.k_committee if kind == "committee" else state.k_step
-        inner_proof, got = cls.gen_snark(pk, state.spec, state.srs(k), args)
+        inner_proof, got = cls.gen_snark(pk, state.spec, state.srs(k), args,
+                                         pinning=state.pinning(kind))
         if got != instances:
             raise RpcError(JSONRPC_INTERNAL, "instance mismatch")
         calldata, agg_inst = _compress(state, kind, pk, inner_proof, got)
@@ -206,7 +234,8 @@ def _compress(state: ProverState, kind: str, app_pk, inner_proof,
     agg_pk = state.agg_pk(kind)
     agg_in = AggregationInput(app_pk.vk, inner_proof.data, inner_instances)
     proof, agg_inst = AggregationCircuit.gen_evm_proof(
-        agg_pk, state.spec, srs_a, agg_in)
+        agg_pk, state.spec, srs_a, agg_in,
+        pinning=state.pinning(kind, agg=True))
     if not _vp(agg_pk.vk, srs_a, proof, agg_inst, transcript="keccak",
                accumulator_indices=ACC_INDICES):
         raise RpcError(JSONRPC_INTERNAL, "aggregation self-verify failed")

@@ -87,3 +87,27 @@ def test_tampered_pubkey_changes_instances(built):
     )
     assert (committee_update_instances(args2)[0][0]
             != committee_update_instances(args)[0][0])
+
+
+def test_thin_wide_instance_parity_and_mock(built):
+    """The thin circuit (the production aggregation inner since r4) must
+    produce IDENTICAL instances to the wide one from the same witness,
+    and be constraint-clean (VERDICT r4 next #9)."""
+    from spectre_tpu.circuits.committee_update import (
+        CommitteeUpdateCircuitThin)
+    args, wide_builder = built
+    thin_builder = CommitteeUpdateCircuitThin.build(args, NANO)
+    assert thin_builder.instances() == wide_builder.instances()
+    assert thin_builder.instances() == committee_update_instances(args)
+    cs, fixed, advice, instances = thin_builder.compile(15)
+    n = 1 << 15
+    inst_cols = [list(v) + [0] * (n - len(v)) for v in instances]
+    cols, fi, ai, ii = [], 0, 0, 0
+    for col in cs.columns:
+        if col.kind == "fixed":
+            cols.append(L.fr_spec.encode_batch(fixed[fi])); fi += 1
+        elif col.kind == "advice":
+            cols.append(L.fr_spec.encode_batch(advice[ai])); ai += 1
+        else:
+            cols.append(L.fr_spec.encode_batch(inst_cols[ii])); ii += 1
+    assert MockProver(cs, n, cols).verify() == []

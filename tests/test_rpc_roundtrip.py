@@ -75,7 +75,7 @@ def test_stubbed_prove_roundtrip(server, monkeypatch):
 
     class FakeCircuit:
         @classmethod
-        def gen_snark(cls, pk, spec, srs, args):
+        def gen_snark(cls, pk, spec, srs, args, pinning=None):
             from spectre_tpu.witness.rotation import (
                 committee_update_instances)
             return type("P", (), {"data": b"\x01\x02"})(), \
