@@ -553,6 +553,36 @@ def _commit_sharded(points_enc_t, S, curve: str, mesh):
     return cops.decode_points(coords)
 
 
+@functools.lru_cache(maxsize=None)
+def _commit_t_sliced_jit(curve_name: str, n_slices: int):
+    """One program for an N > _T_SLICE_N single MSM: vmap the 2^16-point
+    scan over the slices and tree-combine the partials ON DEVICE — one
+    dispatch instead of n_slices sequential programs + host adds (the r3
+    bench's 42k points/s was flat 2^16->2^18 because of exactly that
+    slice-serial dispatch wall; VERDICT r4 next #6)."""
+    from ..curves.limbjax import bn254_g1_ops_t, bls_g1_ops_t
+    cops = {"bn254_g1": bn254_g1_ops_t,
+            "bls12_381_g1": bls_g1_ops_t}[curve_name]
+    core = _commit_core_t(curve_name)
+
+    def f(Xs, Ys, Zs, Ss):   # (NS, NL, n) coords, (NS, 24, n) digits
+        P = jax.vmap(core)(Xs, Ys, Zs, Ss)       # (NS, NL, 1) partials
+        n = n_slices
+        while n > 1:
+            half = n // 2
+            lo = tuple(c[:half] for c in P)
+            hi = tuple(c[half:2 * half] for c in P)
+            s = cops.padd_graph(lo, hi)
+            if n % 2:
+                s = tuple(jnp.concatenate([a, c[n - 1:n]])
+                          for a, c in zip(s, P))
+            P = s
+            n = half + (n % 2)
+        return tuple(c[0] for c in P)            # (NL, 1)
+
+    return jax.jit(f)
+
+
 def commit_dev_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
     """Transposed-layout device MSM: (NL, N) coords + (24, N) digits ->
     affine host point | None."""
@@ -562,6 +592,16 @@ def commit_dev_t(points_enc_t, scalars_plain_t, curve: str = "bn254_g1"):
     S = jnp.asarray(scalars_plain_t)
     N = Xt.shape[1]
     if N > _T_SLICE_N:
+        ns = (N + _T_SLICE_N - 1) // _T_SLICE_N
+        if N % _T_SLICE_N == 0:
+            # fused path: all slices in one vmapped program
+            Xs, Ys, Zs = (c.reshape(c.shape[0], ns, _T_SLICE_N)
+                          .transpose(1, 0, 2) for c in (Xt, Yt, Zt))
+            Ss = S.reshape(S.shape[0], ns, _T_SLICE_N).transpose(1, 0, 2)
+            with L.compact_redc():
+                out = _commit_t_sliced_jit(curve, ns)(Xs, Ys, Zs, Ss)
+            coords = tuple(np.asarray(c).T for c in out)
+            return cops.decode_points(coords)[0]
         total = None
         for i in range(0, N, _T_SLICE_N):
             sl = slice(i, i + _T_SLICE_N)

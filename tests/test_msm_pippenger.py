@@ -63,3 +63,34 @@ def test_commit_dev_flat_vs_host():
     S = np.stack([L.fr_spec.encode_plain_batch(c) for c in cols])
     got = commit_dev_many(enc, S)
     assert got == want
+
+
+def test_commit_dev_t_sliced_parity(rng, monkeypatch):
+    """The fused multi-slice commit (one vmapped program + device tree
+    combine, the 2^18 bench path) must match both the host oracle and the
+    slice-serial path. Slice cap forced tiny so CPU covers it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spectre_tpu.fields import limb as L
+    from spectre_tpu.curves.limbjax import bn254_g1_ops
+    from spectre_tpu.poly import msm_pippenger as MP
+
+    curve = H.bn254_g1
+    n = 64
+    pts = [curve.mul(curve.gen, rng.randrange(1, 1 << 62))
+           for _ in range(n)]
+    scal = [rng.randrange(FR) for _ in range(n)]
+    scal[3] = 0
+    Xa, Ya, Za = bn254_g1_ops.encode_points(pts)
+    enc = tuple(jnp.asarray(np.ascontiguousarray(np.asarray(c).T))
+                for c in (Xa, Ya, Za))
+    S = np.zeros((L.fr_spec.n_limbs, n), np.int32)
+    for i, s in enumerate(scal):
+        S[:, i] = L.int_to_limbs(s, L.fr_spec.limb_bits,
+                                 L.fr_spec.n_limbs)
+    want = curve.msm(pts, scal)
+    assert MP.commit_dev_t(enc, S) == want           # single program
+    monkeypatch.setattr(MP, "_T_SLICE_N", 16)        # 4 fused slices
+    assert MP.commit_dev_t(enc, S) == want
+    monkeypatch.setattr(MP, "_T_SLICE_N", 24)        # non-divisible:
+    assert MP.commit_dev_t(enc, S) == want           # slice-serial path
