@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--repeat", type=int, default=1,
                     help="prove N times; later runs measure the warm path "
                          "(programs loaded — the RPC server's steady state)")
+    ap.add_argument("--budget-only", action="store_true",
+                    help="print the static per-phase HBM budget and exit "
+                         "(no keygen/prove)")
     args = ap.parse_args()
 
     if args.trace:
@@ -93,6 +96,11 @@ def main():
     cs, fixed, advice, instances = builder.compile(args.k)
     log(f"compiled k={args.k}: advice={len(cs.advice)} fixed={len(cs.fixed)} "
         f"lookups={len(cs.lookups)} copies={len(cs.copies)}")
+    from spectre_tpu.plonk import membudget
+    print(membudget.report(cs, args.k), flush=True)
+    if args.budget_only:
+        return 0
+    membudget.assert_fits(cs, args.k)
     if args.spec == "testnet":
         # commit the layout pinning like the reference's
         # lightclient-circuits/config/committee_update_testnet.json

@@ -186,3 +186,28 @@ def test_host_staged_quotient_stack(setup, monkeypatch):
     assert getattr(pk, "_sigma_i16_host", None) is not None
     proof2 = create_proof(pk, srs, advice, instances)
     assert verify_proof(pk.vk, srs, proof2, instances)
+
+
+def test_membudget_static_estimate():
+    """The static HBM model must produce sane, monotone phase estimates
+    for a compiled system (the pre-window budget check, VERDICT r4 #4)."""
+    from spectre_tpu.circuits.builder import CircuitBuilder
+    from spectre_tpu.plonk import membudget
+
+    b = CircuitBuilder()
+    ctx = b.main()
+    x = ctx.assign(3)
+    for _ in range(20):
+        x = ctx.mul(x, x)
+    b.expose_public(x)
+    cs, *_ = b.compile(6)
+    est = membudget.estimate(cs, 6)
+    assert est["peak"] == max(v for k_, v in est.items()
+                              if k_ not in ("peak", "C_total"))
+    assert est["C_total"] > len(cs.advice)
+    # tiny circuit fits a chip with big margin
+    membudget.assert_fits(cs, 6)
+    # scaling k by 4 scales every phase ~16x
+    est2 = membudget.estimate(cs, 10)
+    assert est2["peak"] > 10 * est["peak"]
+    assert "GiB" in membudget.report(cs, 6)
