@@ -86,6 +86,10 @@ def main():
             k += 1
     log(f"compiled k={k}: advice={len(cs.advice)} fixed={len(cs.fixed)} "
         f"lookups={len(cs.lookups)} copies={len(cs.copies)}")
+    from spectre_tpu.plonk import membudget
+    print(membudget.report(cs, k), flush=True)
+    if not args.pin_only:
+        membudget.assert_fits(cs, k)
 
     # commit the FULL layout pinning (break points + layout hash) so
     # prover-mode runs get drift protection — the committed
