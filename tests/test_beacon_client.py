@@ -71,3 +71,47 @@ def test_missing_endpoint_raises(server):
     c = BeaconClient(server)
     with pytest.raises(urllib.error.HTTPError):
         c.get("/nope")
+
+
+def test_http_retry_on_transient_errors(monkeypatch):
+    """Transient failures (URLError/5xx) retry with backoff; 4xx raises
+    immediately (reference retry-middleware analog)."""
+    import urllib.error
+    import urllib.request
+    from spectre_tpu.preprocessor.beacon import BeaconClient
+
+    calls = {"n": 0}
+
+    class FakeResp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b'{"data": 1}'
+
+    def flaky(url, timeout=None):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise urllib.error.URLError("conn reset")
+        return FakeResp()
+
+    monkeypatch.setattr(urllib.request, "urlopen", flaky)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    c = BeaconClient("http://x", retries=3, backoff_s=0)
+    assert c.get("/path") == {"data": 1}
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+
+    def forbidden(url, timeout=None):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(url, 404, "nf", {}, None)
+
+    monkeypatch.setattr(urllib.request, "urlopen", forbidden)
+    import pytest as _pytest
+    with _pytest.raises(urllib.error.HTTPError):
+        c.get("/path")
+    assert calls["n"] == 1  # no retry on 404
