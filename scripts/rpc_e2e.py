@@ -173,6 +173,24 @@ def main():
     gas = res.gas_used
     log(f"EVM verify: ok={ok} gas={gas}")
 
+    # the on-chain artifact: EIP-170 split (code + data contracts),
+    # deployed and called through the in-repo World (VERDICT r4 next #5)
+    from spectre_tpu.evm.interp import World
+    from spectre_tpu.evm.verifier_loop import (EIP170_MAX,
+                                               gen_evm_verifier_deployable)
+    dep = gen_evm_verifier_deployable(agg_pk.vk, srs_a,
+                                      [len(c) for c in instances],
+                                      accumulator_indices=ACC_INDICES)
+    eip170_ok = (len(dep.code) <= EIP170_MAX
+                 and all(len(d) <= EIP170_MAX for d in dep.data_contracts))
+    world = World()
+    addr = dep.deploy(world, 0x1000)
+    res_d = world.call(addr, calldata)
+    dep_ok = res_d.success and res_d.returndata == (1).to_bytes(32, "big")
+    log(f"deployable verifier: code={len(dep.code)}B data="
+        f"{[len(d) for d in dep.data_contracts]} eip170_ok={eip170_ok} "
+        f"ok={dep_ok} gas={res_d.gas_used}")
+
     rec = {
         "metric": "rpc_compressed_e2e_unstubbed",
         "spec": spec.name, "impl": args.impl,
@@ -180,6 +198,11 @@ def main():
         "calldata_bytes": len(calldata),
         "request_wall_s": round(t_req, 1),
         "verifier_bytes": len(code), "evm_ok": bool(ok), "gas": gas,
+        "deployable_code_bytes": len(dep.code),
+        "deployable_data_bytes": [len(d) for d in dep.data_contracts],
+        "eip170_ok": bool(eip170_ok),
+        "deployable_evm_ok": bool(dep_ok),
+        "deployable_gas": res_d.gas_used,
         "committee_poseidon": out["committee_poseidon"],
     }
     print(json.dumps(rec), flush=True)
