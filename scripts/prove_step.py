@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spec", default="nano", choices=["nano", "minimal"])
+    ap.add_argument("--spec", default="nano",
+                    choices=["nano", "minimal", "testnet"])
+    ap.add_argument("--witness", default=None,
+                    help="witness JSON (testnet default: the reference's "
+                         "golden test_data/sync_step_512.json)")
     ap.add_argument("--k", type=int, default=0,
                     help="0 = search upward from the spec's pinned k")
     ap.add_argument("--platform", default=None)
@@ -54,9 +58,19 @@ def main():
     def log(m):
         print(f"[{time.time()-t_start:7.1f}s] {m}", flush=True)
 
-    spec = (Spec(name="nano", sync_committee_size=4)
-            if args.spec == "nano" else MINIMAL)
-    witness = default_sync_step_args(spec)
+    if args.spec == "nano":
+        spec = Spec(name="nano", sync_committee_size=4)
+        witness = default_sync_step_args(spec)
+    elif args.spec == "minimal":
+        spec = MINIMAL
+        witness = default_sync_step_args(spec)
+    else:
+        from spectre_tpu.specs import TESTNET
+        from spectre_tpu.witness.step import SyncStepArgs
+        spec = TESTNET
+        path = args.witness or \
+            "/root/reference/test_data/sync_step_512.json"
+        witness = SyncStepArgs.from_file(path, spec)
 
     log(f"building circuit ({spec.name}, {spec.sync_committee_size} keys)")
     builder = StepCircuit.build(witness, spec)
@@ -65,7 +79,9 @@ def main():
         "instance parity"
 
     from spectre_tpu.circuits.app import Pinning
-    k = args.k or {"nano": 15, "minimal": 16}[args.spec]
+    # defaults: nano/minimal = shapes with records; testnet = the
+    # reference's prod degree (config/sync_step_testnet.json, k=21)
+    k = args.k or {"nano": 15, "minimal": 16, "testnet": 21}[args.spec]
     pin_path0 = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "config", f"sync_step_{spec.name}.json")
