@@ -1093,13 +1093,16 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     del sub_all, sub_cols, get_col, get_col16, sc
     del l0, llast, lblind, lactive, acc
 
-    # interleave: position p = i*f_ext + j holds sub-coset j row i
-    h_evals = jnp.stack(h_subs, axis=-1).reshape(NL, n_ext)
-    h_coeffs = V.coset_intt(h_evals, ext_k, COSET_SHIFT)
+    # recover h's coefficient blocks straight from the per-sub-coset
+    # evals: f_ext size-n INTTs (programs already warm from the stack
+    # assembly) + an f-point inverse DFT across sub-cosets — no 2^ext_k
+    # program or twiddle constants (r5 OOM #8 at 512-key k=18)
+    h_piece_stack = V.coset_intt_pieces(h_subs, k, ext_k, COSET_SHIFT)
+    del h_subs
 
     tm("quotient construction")
-    h_pieces = [h_coeffs[:, i * n:(i + 1) * n] for i in range(f_ext)]
-    h_comms = kzg.commit_coeff_cols(srs, jnp.stack(h_pieces))
+    h_pieces = V.unstack(h_piece_stack)
+    h_comms = kzg.commit_coeff_cols(srs, h_piece_stack)
     for cm in h_comms:
         t.write_point(cm)
 

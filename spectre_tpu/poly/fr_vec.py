@@ -788,3 +788,55 @@ def coset_intt(evals, ext_k: int, shift: int):
     c = intt_dev(evals, ext_k)
     sp = _shift_pows(1 << ext_k, inv_mod(shift, FR))
     return _mul_jit()(c, sp)
+
+
+@functools.lru_cache(maxsize=None)
+def _subcoset_recombine_jit(f: int, n: int):
+    @jax.jit
+    def fn(g, sinv_pows, d):
+        # g (f, NL, n) per-sub-coset INTTs; sinv_pows (f, NL, n) powers of
+        # s_j^{-1}; d (f, f, NL, 1) the inverse f-point DFT matrix with
+        # 1/f and shift^{-tn} folded in
+        h = ops.mont_mul(g, sinv_pows)
+        outs = []
+        for t_ in range(f):
+            acc = None
+            for j in range(f):
+                term = ops.mont_mul(h[j], d[j, t_])
+                acc = term if acc is None else ops.add(acc, term)
+            outs.append(ops.fold(acc))
+        return jnp.stack(outs)
+    return fn
+
+
+def coset_intt_pieces(sub_evals, k: int, ext_k: int, shift: int):
+    """Inverse of f = 2^(ext_k-k) per-sub-coset coset NTTs, directly as
+    coefficient BLOCKS: piece t = coeffs[t*n:(t+1)*n] of the degree-<fn
+    polynomial whose sub-coset-j evals (on shift*w_ext^j*<w_n>) are
+    sub_evals[j]. Equivalent to interleave + coset_intt(2^ext_k) +
+    block-split, but every program stays at size n:
+
+      intt_n(E_j)[r] = s_j^r * sum_t a_{tn+r} (s_j^n)^t, and s_j^n =
+      shift^n * W^j with W = w_ext^n of order f — so after the s_j^{-r}
+      scale, recovering a_{tn+r} is an f-point inverse DFT across j.
+
+    Replaces the prover's h-assembly 2^ext_k INTT whose fresh program +
+    twiddle constants OOM'd the 512-key k=18 prove on a chip already
+    holding the coefficient stack (r5 OOM #8)."""
+    from .domain import root_of_unity
+    sub = jnp.stack([jnp.asarray(e) for e in sub_evals])
+    f, n = sub.shape[0], sub.shape[-1]
+    assert f == 1 << (ext_k - k) and n == 1 << k
+    g = intt_dev_many(sub, k)
+    w_ext = root_of_unity(ext_k)
+    sinv = jnp.stack([
+        _shift_pows(n, inv_mod(shift * pow(w_ext, j, FR) % FR, FR))
+        for j in range(f)])
+    W_inv = inv_mod(pow(w_ext, n, FR), FR)
+    f_inv = inv_mod(f, FR)
+    shn_inv = pow(inv_mod(shift, FR), n, FR)
+    d = np.stack([[
+        spec.encode(pow(W_inv, j * t, FR) * f_inv % FR
+                    * pow(shn_inv, t, FR) % FR)[:, None]
+        for t in range(f)] for j in range(f)])
+    return _subcoset_recombine_jit(f, n)(g, sinv, jnp.asarray(d))

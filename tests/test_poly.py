@@ -85,3 +85,21 @@ def test_halo2_srs_file_roundtrip(tmp_path):
     # cached_srs picks up the halo2-format file from PARAMS_DIR
     got2 = kzg.cached_srs(3, params_dir=str(tmp_path))
     assert got2.g1_coeff == srs.g1_coeff and got2.tau is None
+
+
+def test_coset_intt_pieces_matches_full_intt(rng):
+    """Per-sub-coset inverse (f size-n INTTs + f-point DFT across
+    sub-cosets) must equal the interleaved 2^ext_k coset INTT split into
+    blocks — the prover's h-assembly path (r5 OOM #8 fix)."""
+    from spectre_tpu.poly import fr_vec as FV
+
+    k, ext_k = 4, 6
+    f, n = 1 << (ext_k - k), 1 << k
+    shift = 7
+    coeffs = [rng.randrange(FR) for _ in range(f * n)]
+    dev = FV.upload_ints(coeffs, f * n)
+    full = FV.coset_ntt(dev, ext_k, shift)          # evals at shift*w_ext^p
+    subs = [full[:, j::f] for j in range(f)]        # sub-coset j = p≡j (f)
+    pieces = FV.coset_intt_pieces(subs, k, ext_k, shift)
+    got = FV.download_ints(pieces)                  # f blocks of n
+    assert got == coeffs
