@@ -30,7 +30,32 @@ def _hbm() -> str:
             return f" [hbm={st['bytes_in_use'] / 1e9:.2f}G]"
     except Exception:   # noqa: BLE001 — tracing aid only
         pass
+    if os.environ.get("SPECTRE_TRACE_LIVE", "") not in ("", "0"):
+        return live_arrays_report()
     return ""
+
+
+def live_arrays_report(top: int = 4) -> str:
+    """' [live=X.XG top=...]': exact Python-side live device-buffer
+    accounting via jax.live_arrays() — the residency probe for backends
+    (axon tunnel) whose memory_stats() is None. Enable with
+    SPECTRE_TRACE_LIVE=1 (costs a walk over live arrays per phase)."""
+    try:
+        import jax
+        from collections import Counter
+        arrs = jax.live_arrays()
+        total = 0
+        by_shape: Counter = Counter()
+        for a in arrs:
+            nb = a.size * a.dtype.itemsize
+            total += nb
+            by_shape[(str(a.dtype), a.shape)] += nb
+        tops = ", ".join(
+            f"{d}{list(s)}={b / 1e9:.2f}G"
+            for (d, s), b in by_shape.most_common(top))
+        return f" [live={total / 1e9:.2f}G n={len(arrs)} top: {tops}]"
+    except Exception:   # noqa: BLE001 — tracing aid only
+        return ""
 
 
 class PhaseRecorder:
