@@ -314,6 +314,7 @@ def _fold_gate_polys(acc, polys, get_col, y: int, rot_unit: int,
                 break
             total = part if total is None else V._add_fold_jit()(
                 total, part)
+            V.sync_chunk(total, rows)
         del failed
     if vm_members:
         from .tapevm import GateTape
@@ -829,8 +830,8 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         r_parts = []
         for off in range(0, nums.shape[0], col_chunk_budget):
             blk = slice(off, off + col_chunk_budget)
-            r_parts.append(
-                _ratio_jit()(nums[blk], V.batch_inv_many(dens[blk])))
+            r_parts.append(V.sync_chunk(
+                _ratio_jit()(nums[blk], V.batch_inv_many(dens[blk])), n))
         ratios = jnp.concatenate(r_parts) if len(r_parts) > 1 \
             else r_parts[0]
         # free the ratio pipeline inputs NOW — these locals otherwise live
@@ -1085,7 +1086,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
 
         # divide by Z_H (constant on this sub-coset)
         zh_j = (pow(COSET_SHIFT, n, FR) * pow(w_ext, n * j, FR) - 1) % FR
-        h_subs.append(V.scalar_mul(acc, inv_mod(zh_j, FR)))
+        h_subs.append(V.sync_chunk(V.scalar_mul(acc, inv_mod(zh_j, FR)), n))
 
     # the LAST iteration's sub-coset stack and its closures survive the
     # loop (sub_cols slices + the get_col/sc captures) — ~5 GB at k=18;

@@ -93,6 +93,25 @@ def upload_ints(values: List[int], n: int | None = None):
     return _up_bytes_jit(n)(jnp.asarray(arr))
 
 
+_SYNC_MIN_N = int(os.environ.get("SPECTRE_SYNC_MIN_N", str(1 << 16)))
+
+
+def sync_chunk(x, n: int):
+    """Device barrier after a chunk of a big-n batched pipeline.
+
+    JAX dispatch is async: the host enqueues whole phases in seconds while
+    the device is minutes behind, and every enqueued op's OUTPUT buffer is
+    allocated at dispatch — so an unbounded queue multiplies peak HBM by
+    the queue depth. That (not steady residency: live arrays were 6 GiB
+    at the r5 step-k=17 OOM) is what the round-4 OOM whack-a-mole was
+    chasing. Blocking once per chunk bounds the in-flight window to ~one
+    chunk; below _SYNC_MIN_N rows (default 2^16) it's a no-op so small
+    proves keep full overlap."""
+    if n >= _SYNC_MIN_N:
+        jax.block_until_ready(x)
+    return x
+
+
 def col_chunk(n: int, bytes_per_row: int = 400, cap: int = 1 << 28) -> int:
     """How many columns one whole-stack program may touch: the Montgomery
     conversion/REDC temps cost ~400 B/row/column in HLO, and the k=18
@@ -474,7 +493,7 @@ def batch_inv_many(v):
     outs = []
     for off in range(0, C, B):
         blk, take = _pad_cols_pow2(v[off:off + B], n)
-        outs.append(_batch_inv_block(blk)[:take])
+        outs.append(sync_chunk(_batch_inv_block(blk)[:take], n))
     return jnp.concatenate(outs)
 
 
@@ -544,7 +563,7 @@ def grand_product_many(ratios, usable: int, blinds):
         tails = upload_ints_many(
             [[0] * (usable + 1) + list(b) for b in blk_blinds], n)
         z, lb = f(blk, tails)
-        zs.append(z[:take])
+        zs.append(sync_chunk(z[:take], n))
         lasts.extend(download_ints(lb)[:take])
     return (jnp.concatenate(zs) if len(zs) > 1 else zs[0]), lasts
 
@@ -560,7 +579,7 @@ def grand_product_scale(z, usable: int, starts):
         _f, scale = _grand_product_many_jit(blk.shape[0], n, usable)
         st = list(starts[off:off + take]) + [1] * (blk.shape[0] - take)
         s_m = jnp.swapaxes(upload_ints(st, len(st)), 0, 1)[:, :, None]
-        outs.append(scale(blk, s_m)[:take])
+        outs.append(sync_chunk(scale(blk, s_m)[:take], n))
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
@@ -682,6 +701,7 @@ def _batched_transform(cols, k, fn_many, fn_one):
             blk = jnp.concatenate(
                 [blk, jnp.zeros((width - take,) + blk.shape[1:], blk.dtype)])
         out = fn_many(blk)
+        sync_chunk(out, out.shape[-1])
         outs.append(out[:take] if take < width else out)
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
