@@ -139,7 +139,12 @@ class ProvingKey:
         from ..poly import fr_vec as V
         m = len(self.mapping)
         n = self.vk.n
-        block = max(1, V._NTT_BATCH_ROWS // n)
+        # block by the whole-stack column budget, NOT the NTT batch rows:
+        # a 64-wide ntt4 INTT at 2^17 holds ~6-10 (64, NL, n) temps inside
+        # one program and OOM'd the step k=17 prove even with only 2.5 GiB
+        # of arrays live (r5; the staging loop already chunks by
+        # col_chunk for the same reason)
+        block = max(1, min(V._NTT_BATCH_ROWS // n, V.col_chunk(n)))
         out = np.empty((m, V.NL, n), np.int16)
         for off in range(0, m, block):
             sigs = _sigma_dev_many(
@@ -163,13 +168,14 @@ class ProvingKey:
         from ..poly import fr_vec as V
         m = len(self.mapping)
         n = self.vk.n
-        block = max(1, V._NTT_BATCH_ROWS // n)
+        # same block cap as the host-staged variant (r5 step k=17 OOM)
+        block = max(1, min(V._NTT_BATCH_ROWS // n, V.col_chunk(n)))
         parts = []
         for off in range(0, m, block):
             sigs = _sigma_dev_many(
                 self.vk.domain, self.mapping[off:off + block], m)
-            parts.append(V.intt_dev_many(sigs, self.vk.k)
-                         .astype(jnp.int16))
+            parts.append(V.sync_chunk(
+                V.intt_dev_many(sigs, self.vk.k).astype(jnp.int16), n))
             del sigs
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
