@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--budget-only", action="store_true",
                     help="print the static per-phase HBM budget and exit "
                          "(no keygen/prove)")
+    ap.add_argument("--transcript", default="blake2b",
+                    choices=["blake2b", "keccak"],
+                    help="keccak = EVM flavor; its artifact feeds "
+                         "scripts/evm_gas.py (gen_evm_proof analog)")
     args = ap.parse_args()
 
     if args.trace:
@@ -138,15 +142,29 @@ def main():
     t_proves = []
     for it in range(max(1, args.repeat)):
         t0 = time.time()
-        proof = create_proof(pk, srs, advice, instances)
+        proof = create_proof(pk, srs, advice, instances,
+                             transcript=args.transcript)
         t_proves.append(time.time() - t0)
         log(f"prove[{it}] done ({t_proves[-1]:.1f}s, {len(proof.data)} bytes)")
     t_prove = t_proves[-1]
 
     t0 = time.time()
-    ok = verify_proof(pk.vk, srs, proof, instances)
+    ok = verify_proof(pk.vk, srs, proof, instances,
+                      transcript=args.transcript)
     t_ver = time.time() - t0
     log(f"verify: {ok} ({t_ver:.1f}s)")
+
+    if ok:   # persist the artifact so EVM-verifier gas can be measured
+        try:   # on the real proof without re-proving (cli.rs:259-268 analog)
+            import pickle as _pkl
+            sfx = "_proof.pkl" if args.transcript == "blake2b" else "_evmproof.pkl"
+            apath = pk_path.replace("_pk.pkl", sfx)
+            with open(apath, "wb") as f:
+                _pkl.dump({"proof": proof.data, "instances": instances,
+                           "transcript": args.transcript}, f)
+            log(f"proof artifact: {apath}")
+        except Exception as e:   # noqa: BLE001 — artifact is optional
+            log(f"proof artifact save failed: {e!r}")
 
     print(json.dumps({
         "circuit": "committee-update", "spec": spec.name, "k": args.k,

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--transcript", default="blake2b",
+                    choices=["blake2b", "keccak"],
+                    help="keccak = EVM flavor; its artifact feeds "
+                         "scripts/evm_gas.py (gen_evm_proof analog)")
     ap.add_argument("--pin-only", action="store_true",
                     help="write the full layout pinning and exit "
                          "(no keygen/prove)")
@@ -149,15 +153,29 @@ def main():
     t_proves = []
     for it in range(max(1, args.repeat)):
         t0 = time.time()
-        proof = create_proof(pk, srs, advice, instances)
+        proof = create_proof(pk, srs, advice, instances,
+                             transcript=args.transcript)
         t_proves.append(time.time() - t0)
         log(f"prove[{it}] done ({t_proves[-1]:.1f}s, "
             f"{len(proof.data)} bytes)")
 
     t0 = time.time()
-    ok = verify_proof(pk.vk, srs, proof, instances)
+    ok = verify_proof(pk.vk, srs, proof, instances,
+                      transcript=args.transcript)
     t_ver = time.time() - t0
     log(f"verify: {ok} ({t_ver:.1f}s)")
+
+    if ok:   # persist the artifact so EVM-verifier gas can be measured
+        try:   # on the real proof without re-proving (cli.rs:259-268 analog)
+            import pickle as _pkl
+            sfx = "_proof.pkl" if args.transcript == "blake2b" else "_evmproof.pkl"
+            apath = pk_path.replace("_pk.pkl", sfx)
+            with open(apath, "wb") as f:
+                _pkl.dump({"proof": proof.data, "instances": instances,
+                           "transcript": args.transcript}, f)
+            log(f"proof artifact: {apath}")
+        except Exception as e:   # noqa: BLE001 — artifact is optional
+            log(f"proof artifact save failed: {e!r}")
 
     print(json.dumps({
         "circuit": "sync-step", "spec": spec.name, "k": k,
