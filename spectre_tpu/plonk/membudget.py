@@ -30,6 +30,11 @@ NL = 24            # BN254 Fr 2^11 limbs
 HBM_BYTES = 16 << 30   # TPU v5e single chip
 
 
+def _unstack_eager_max() -> int:
+    from .prover import _UNSTACK_EAGER_MAX_B
+    return _UNSTACK_EAGER_MAX_B
+
+
 def _col_chunk(n: int, bytes_per_row: int = 400, cap: int = 1 << 28) -> int:
     w = max(1, min(64, cap // max(n * bytes_per_row, 1)))
     return 1 << (w.bit_length() - 1)
@@ -67,7 +72,12 @@ def estimate(cs, k: int) -> Dict[str, int]:
                               + gp_transient),
         "p3_coeff_stack": (pk_coeffs + col_evals // 2 + coeff_stack
                            + ntt_transient),
-        "p4_quotient_subcoset": (coeff_stack + coeff_stack   # + sub_all
+        # + sub_all; + its eager-unstack per-column copy when small
+        # enough for the one-dispatch path (prover._UNSTACK_EAGER_MAX_B;
+        # above it the columns are sliced lazily — OOM #8 fix)
+        "p4_quotient_subcoset": (coeff_stack + coeff_stack
+                                 + (coeff_stack if coeff_stack
+                                    <= _unstack_eager_max() else 0)
                                  + gate_transient + ntt_transient
                                  + 4 * col32),               # acc + temps
         "p5_evaluations": coeff_stack + C_total * col16 // 2,

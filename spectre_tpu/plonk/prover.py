@@ -65,6 +65,25 @@ from ..metrics import PhaseRecorder as _PhaseTimer  # noqa: E402 — the
 # per-phase report under the "create_proof" task for RPC/CLI surfacing
 
 
+# Above this many bytes, the quotient loop slices sub-coset columns
+# lazily instead of eager-unstacking (which would hold stack + full
+# per-column copy simultaneously — OOM #8 at step k=17). 1 GiB keeps
+# every k<=15 circuit on the one-dispatch fast path.
+_UNSTACK_EAGER_MAX_B = int(os.environ.get(
+    "SPECTRE_UNSTACK_EAGER_MAX_B", str(1 << 30)))
+
+
+class _LazyColStack:
+    """sub_cols view slicing one column per access from the live stack
+    (one tunnel RTT per access; no duplicate stack residency)."""
+
+    def __init__(self, stack):
+        self._stack = stack
+
+    def __getitem__(self, i):
+        return self._stack[i]
+
+
 def _det_rand(seed: bytes, i: int) -> int:
     return int.from_bytes(
         hashlib.blake2b(seed + i.to_bytes(8, "little"),
@@ -1009,7 +1028,15 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         shift_j = COSET_SHIFT * pow(w_ext, j, FR) % FR
         sub_all = V.coset_ntt_many(all_coeffs, k, shift_j,
                                    out_dtype=jnp.int16)
-        sub_cols = V.unstack(sub_all)
+        # Eager unstack materializes a per-column COPY of the whole stack
+        # while sub_all stays alive for the tape VM — 2x residency, ~10 GiB
+        # at step k=17 (OOM #8). Above the threshold, slice lazily per
+        # access instead: one tunnel RTT per column access, no duplicate.
+        if (sub_all.size * sub_all.dtype.itemsize
+                <= _UNSTACK_EAGER_MAX_B):
+            sub_cols = V.unstack(sub_all)
+        else:
+            sub_cols = _LazyColStack(sub_all)
 
         def get_col(gidx, _sc=sub_cols):
             # int16 at rest -> int32 transient per consumer

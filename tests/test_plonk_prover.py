@@ -188,6 +188,22 @@ def test_host_staged_quotient_stack(setup, monkeypatch):
     assert verify_proof(pk.vk, srs, proof2, instances)
 
 
+def test_lazy_subcoset_columns(setup, monkeypatch):
+    """Force the lazy sub-coset column path (the step-k=17 OOM #8 fix:
+    above _UNSTACK_EAGER_MAX_B the quotient loop slices columns from the
+    live stack instead of eager-unstacking a full per-column copy) and
+    check proof parity with the eager path."""
+    from spectre_tpu.plonk import prover as P
+    cs, srs, pk, advice, instances, _ = setup
+    monkeypatch.setattr(P, "_UNSTACK_EAGER_MAX_B", 0)   # always lazy
+    proof = create_proof(pk, srs, advice, instances, seed=b"\x11" * 32)
+    assert verify_proof(pk.vk, srs, proof, instances)
+    monkeypatch.setattr(P, "_UNSTACK_EAGER_MAX_B", 1 << 30)
+    proof_eager = create_proof(pk, srs, advice, instances,
+                               seed=b"\x11" * 32)
+    assert proof.data == proof_eager.data   # bit-identical transcripts
+
+
 def test_membudget_static_estimate():
     """The static HBM model must produce sane, monotone phase estimates
     for a compiled system (the pre-window budget check, VERDICT r4 #4)."""
