@@ -35,6 +35,11 @@ def _unstack_eager_max() -> int:
     return _UNSTACK_EAGER_MAX_B
 
 
+def _coeff_host_max() -> int:
+    from .prover import _COEFF_HOST_MAX_B
+    return _COEFF_HOST_MAX_B
+
+
 def _col_chunk(n: int, bytes_per_row: int = 400, cap: int = 1 << 28) -> int:
     w = max(1, min(64, cap // max(n * bytes_per_row, 1)))
     return 1 << (w.bit_length() - 1)
@@ -64,18 +69,23 @@ def estimate(cs, k: int) -> Dict[str, int]:
     coeff_stack = C_total * col16
     gate_transient = min(1 << 27, 8 * col32 * 4)
     ntt_transient = min(1 << 28, _col_chunk(n) * 400 * n)
+    hosted = coeff_stack > _coeff_host_max()
+    dev_coeff = 0 if hosted else coeff_stack
 
     phases = {
         "p1_advice_commit": srs_enc + pk_coeffs + col_evals,
         "p2_grand_products": (srs_enc + pk_coeffs + col_evals
                               + (n_chunks + 3 * nL) * col32
                               + gp_transient),
-        "p3_coeff_stack": (pk_coeffs + col_evals // 2 + coeff_stack
+        "p3_coeff_stack": (pk_coeffs + col_evals // 2 + dev_coeff
                            + ntt_transient),
-        # + sub_all; + its eager-unstack per-column copy when small
-        # enough for the one-dispatch path (prover._UNSTACK_EAGER_MAX_B;
-        # above it the columns are sliced lazily — OOM #8 fix)
-        "p4_quotient_subcoset": (coeff_stack + coeff_stack
+        # device terms: all_coeffs (device mode only) + sub_all
+        # + coset_ntt_many's chunk-concat copy (device mode only;
+        # the hosted variant assembles via donated in-place updates)
+        # + the eager-unstack per-column copy when small enough for the
+        # one-dispatch path (OOM #8/#9 fixes)
+        "p4_quotient_subcoset": (dev_coeff + coeff_stack
+                                 + (0 if hosted else coeff_stack)
                                  + (coeff_stack if coeff_stack
                                     <= _unstack_eager_max() else 0)
                                  + gate_transient + ntt_transient

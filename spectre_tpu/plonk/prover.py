@@ -72,6 +72,14 @@ from ..metrics import PhaseRecorder as _PhaseTimer  # noqa: E402 — the
 _UNSTACK_EAGER_MAX_B = int(os.environ.get(
     "SPECTRE_UNSTACK_EAGER_MAX_B", str(1 << 30)))
 
+# Above this many bytes, the quotient's coefficient stack stays in HOST
+# RAM (125 GB here) and sub-coset NTTs re-upload it chunk-wise
+# (coset_ntt_many_hosted): the device otherwise holds coeff stack +
+# sub-coset stack + the sub-coset chunk-concat copy at once (OOM #9 at
+# step k=17). ~28 s/sub-coset upload at the tunnel's ~135 MB/s.
+_COEFF_HOST_MAX_B = int(os.environ.get(
+    "SPECTRE_COEFF_HOST_MAX_B", str(2 << 30)))
+
 
 class _LazyColStack:
     """sub_cols view slicing one column per access from the live stack
@@ -993,9 +1001,21 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
         if perm_cols:
             buf[n_evalg:] = pk.sigma_coeffs_i16_host()
             tm("  q: sigma host stack")
-        all_coeffs = jnp.asarray(buf)
-        del buf, eval_group
-        tm("  q: stack uploaded")
+        if buf.nbytes > _COEFF_HOST_MAX_B:
+            # keep the stack in HOST RAM: the device would otherwise hold
+            # coeff stack + sub-coset stack + the sub-coset chunk-concat
+            # copy simultaneously (~11.4 GiB at step k=17 — OOM #9).
+            # Each sub-coset re-uploads chunk-wise inside
+            # coset_ntt_many_hosted; evaluation-phase columns upload on
+            # demand through the _cf_cache memo.
+            all_coeffs, coeff_host = None, buf
+            del eval_group
+            tm("  q: stack host-resident "
+               f"({buf.nbytes / 2**30:.1f} GiB)")
+        else:
+            all_coeffs, coeff_host = jnp.asarray(buf), None
+            del buf, eval_group
+            tm("  q: stack uploaded")
     else:
         coeff_parts = []
         for off in range(0, n_evalg, _step):
@@ -1008,6 +1028,7 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
             coeff_parts.append(pk.sigma_coeffs_i16())
         all_coeffs = jnp.concatenate(coeff_parts) if len(coeff_parts) > 1 \
             else coeff_parts[0]
+        coeff_host = None
         del coeff_parts, eval_group
 
     _cf_cache: Dict = {}
@@ -1015,7 +1036,9 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     def coeffs_of_key(key):
         # memoized: a column queried at several rotations slices once
         if key not in _cf_cache:
-            _cf_cache[key] = all_coeffs[slot[key]]
+            _cf_cache[key] = (all_coeffs[slot[key]]
+                              if coeff_host is None
+                              else jnp.asarray(coeff_host[slot[key]]))
         return _cf_cache[key]
 
     def coeffs_of(gidx: int):
@@ -1026,8 +1049,12 @@ def create_proof(pk: ProvingKey, srs: kzg.SrsKZG,
     h_subs = []
     for j in range(f_ext):
         shift_j = COSET_SHIFT * pow(w_ext, j, FR) % FR
-        sub_all = V.coset_ntt_many(all_coeffs, k, shift_j,
-                                   out_dtype=jnp.int16)
+        if coeff_host is not None:
+            sub_all = V.coset_ntt_many_hosted(coeff_host, k, shift_j,
+                                              out_dtype=jnp.int16)
+        else:
+            sub_all = V.coset_ntt_many(all_coeffs, k, shift_j,
+                                       out_dtype=jnp.int16)
         # Eager unstack materializes a per-column COPY of the whole stack
         # while sub_all stays alive for the tape VM — 2x residency, ~10 GiB
         # at step k=17 (OOM #8). Above the threshold, slice lazily per

@@ -779,6 +779,46 @@ def coset_ntt_many(coeffs_cols, ext_k: int, shift: int, out_dtype=None):
 
 
 @functools.lru_cache(maxsize=None)
+def _update_cols_jit(ndim: int):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def f(stack, part, off):
+        return jax.lax.dynamic_update_slice(
+            stack, part, (off,) + (0,) * (ndim - 1))
+    return f
+
+
+def coset_ntt_many_hosted(coeffs_host, ext_k: int, shift: int,
+                          out_dtype=None):
+    """coset_ntt_many reading a HOST (numpy) coefficient stack: chunks
+    upload from host RAM and land in a preallocated device output via
+    DONATED in-place dynamic updates. Device residency = the output stack
+    + one chunk of transients — neither the input stack nor the
+    chunk-concat copy that coset_ntt_many's device path materializes
+    (at step k=17 those two were ~7.6 GiB on top of the output; OOM #9)."""
+    import numpy as _np
+    C, n = coeffs_host.shape[0], coeffs_host.shape[-1]
+    n_ext = 1 << ext_k
+    dt = out_dtype or jnp.int32
+    sp = _shift_pows(n, shift)
+    step = col_chunk(max(n_ext, n))
+    out = jnp.zeros((C, NL, n_ext), dt)
+    for off in range(0, C, step):
+        blk = jnp.asarray(
+            _np.ascontiguousarray(coeffs_host[off:off + step],
+                                  dtype=_np.int32))
+        take = blk.shape[0]
+        width = 1 << max(0, (take - 1).bit_length())
+        if take < width:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((width - take, NL, n), jnp.int32)])
+        part = ntt_dev_many(_pad_mul_many_jit(n, n_ext)(blk, sp), ext_k)
+        if take < width:
+            part = part[:take]
+        out = _update_cols_jit(out.ndim)(out, part.astype(dt), off)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def _shift_pows(n: int, shift: int):
     """Device powers of a coset shift (held resident per domain)."""
     return jax.device_put(powers(shift, n))
